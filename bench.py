@@ -1,0 +1,106 @@
+"""Benchmark: Graph Network forward latency vs the reference baseline.
+
+Reference baseline (BASELINE.md): default GN config (6 layers, 128 channels,
+cutoff 5.0), forward only, batch 1, fp32, on DHFR (2489 atoms): 27.22 ms/it
+(NVIDIA desktop GPU, benchmarks/graph_network.ipynb cell 7).
+
+This harness builds a synthetic protein-density system with the same atom
+count (real DHFR coordinates are not redistributable here; density is matched
+at ~0.094 atoms/A^3 so neighbor counts are comparable), runs the same model
+configuration on the available accelerator, and reports ms/iteration.
+
+Prints ONE JSON line:
+  {"metric": "gn_forward_dhfr2489_ms", "value": <ms>, "unit": "ms/it",
+   "vs_baseline": <ref_ms / our_ms>}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REF_MS = 27.22  # reference GN forward on DHFR (2489 atoms), BASELINE.md
+N_ATOMS = 2489
+DENSITY = 0.094  # atoms / A^3, protein-like
+
+
+def synthetic_protein(n_atoms: int, seed: int = 0):
+    """Uniform-density cluster with protein-ish composition."""
+    rng = np.random.default_rng(seed)
+    volume = n_atoms / DENSITY
+    radius = (3.0 * volume / (4.0 * np.pi)) ** (1.0 / 3.0)
+    # rejection-free: sample radii ~ U^(1/3)
+    u = rng.random(n_atoms)
+    r = radius * u ** (1.0 / 3.0)
+    v = rng.standard_normal((n_atoms, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = (r[:, None] * v).astype(np.float32)
+    z = rng.choice([1, 6, 7, 8, 16], size=n_atoms, p=[0.5, 0.32, 0.09, 0.08, 0.01])
+    return z.astype(np.int32), pos
+
+
+def main():
+    import jax
+
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+
+    z, pos = synthetic_protein(N_ATOMS)
+    batch = pad_molecules(
+        [{"z": z, "pos": pos}], num_atoms=(N_ATOMS + 7) // 8 * 8, num_mol=1
+    )
+
+    args = dict(
+        model="graph-network",
+        embedding_dimension=128,
+        num_layers=6,
+        num_rbf=50,
+        rbf_type="expnorm",
+        trainable_rbf=True,
+        activation="silu",
+        neighbor_embedding=True,
+        cutoff_lower=0.0,
+        cutoff_upper=5.0,
+        max_z=100,
+        max_num_neighbors=80,
+        derivative=False,
+        output_model="Scalar",
+        prior_model=None,
+        reduce_op="add",
+        precision=32,
+        atom_filter=-1,
+        aggr="add",
+    )
+    model = create_model(args)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def forward(params, pos):
+        return model.energy(params, batch.replace(pos=pos))
+
+    # compile + warmup
+    y = forward(params, batch.pos)
+    y.block_until_ready()
+
+    n_iters = 50
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        y = forward(params, batch.pos)
+    y.block_until_ready()
+    elapsed_ms = (time.perf_counter() - start) / n_iters * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "gn_forward_dhfr2489_ms",
+                "value": round(elapsed_ms, 3),
+                "unit": "ms/it",
+                "vs_baseline": round(REF_MS / elapsed_ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

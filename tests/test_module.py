@@ -1,0 +1,134 @@
+"""Trainer tests (reference tests/test_module.py): short Trainer.fit + test
+on the dummy dataset, checkpoint resume, standardize, calculator."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from torchmdnet_tpu.calculators import External
+from torchmdnet_tpu.data.datasets import DummyDataset
+from torchmdnet_tpu.data.module import DataModule
+from torchmdnet_tpu.models.potential import create_model
+from torchmdnet_tpu.train.trainer import Trainer
+
+from utils import load_example_args
+
+
+def _hparams(tmp_path, **over):
+    h = load_example_args("graph-network", remove_prior=True)
+    h.update(
+        num_layers=1,
+        embedding_dimension=16,
+        num_rbf=8,
+        max_num_neighbors=8,
+        derivative=True,
+        batch_size=4,
+        inference_batch_size=4,
+        lr=1e-3,
+        lr_patience=2,
+        lr_factor=0.5,
+        lr_min=1e-7,
+        lr_warmup_steps=2,
+        num_epochs=2,
+        early_stopping_patience=50,
+        train_size=12,
+        val_size=4,
+        test_size=4,
+        seed=1,
+        log_dir=str(tmp_path),
+        save_interval=1,
+        test_interval=-1,
+        gradient_clipping=10.0,
+        ema_alpha_y=0.9,
+        ema_alpha_neg_dy=1.0,
+        weight_decay=0.0,
+        num_workers=0,
+        reset_trainer=False,
+        splits=None,
+    )
+    h.update(over)
+    return h
+
+
+def test_fit_and_test(tmp_path):
+    h = _hparams(tmp_path)
+    ds = DummyDataset(num_samples=20, num_atoms=5)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h)
+    state = trainer.fit(data)
+    assert state.epoch == 1
+    assert trainer.best_model_path is not None
+    metrics = trainer.test(data)
+    assert np.isfinite(metrics["test_total_l1_loss"])
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.csv"))
+    assert os.path.exists(os.path.join(str(tmp_path), "splits.npz"))
+
+
+def test_resume(tmp_path):
+    h = _hparams(tmp_path, num_epochs=1)
+    ds = DummyDataset(num_samples=20, num_atoms=5)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h)
+    state = trainer.fit(data)
+    ckpt = trainer.best_model_path
+
+    h2 = _hparams(tmp_path, num_epochs=2)
+    trainer2 = Trainer(create_model(h2), h2)
+    state2 = trainer2.fit(data, ckpt_path=ckpt)
+    assert state2.epoch >= 1
+    assert state2.global_step > state.global_step
+
+
+def test_standardize(tmp_path):
+    h = _hparams(tmp_path, standardize=True)
+    ds = DummyDataset(num_samples=20, num_atoms=5)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    assert data.mean is not None and data.std is not None
+    # mean/std computed over the train subset energies
+    ys = [float(np.asarray(ds[i]["y"])) for i in data.idx_train]
+    np.testing.assert_allclose(data.mean, np.mean(ys), rtol=1e-5)
+    np.testing.assert_allclose(data.std, np.std(ys, ddof=1), rtol=1e-5)
+
+
+def test_calculator_matches_direct_forward(tmp_path):
+    """reference tests/test_calculator.py: External == direct model call,
+    including stacked multi-molecule batches."""
+    h = load_example_args("equivariant-transformer", remove_prior=True, derivative=True)
+    model = create_model(h)
+    rng = np.random.default_rng(0)
+    n_batch, n_atoms = 2, 6
+    embeddings = rng.integers(1, 10, (n_batch, n_atoms))
+    pos = rng.standard_normal((n_batch * n_atoms, 3)).astype(np.float32)
+
+    from torchmdnet_tpu.data.batch import AtomicBatch
+    import jax.numpy as jnp
+
+    batch = AtomicBatch(
+        z=jnp.asarray(embeddings.reshape(-1), jnp.int32),
+        pos=jnp.asarray(pos),
+        batch=jnp.repeat(jnp.arange(n_batch, dtype=jnp.int32), n_atoms),
+        atom_mask=jnp.ones(n_batch * n_atoms, bool),
+        mol_mask=jnp.ones(n_batch, bool),
+        num_mol=n_batch,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    y_direct, f_direct = model.energy_and_forces(params, batch)
+
+    calc = External((model, params), embeddings)
+    energy, forces = calc.calculate(pos.copy())
+    np.testing.assert_allclose(np.asarray(energy), np.asarray(y_direct), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(forces).reshape(-1, 3), np.asarray(f_direct), rtol=1e-4, atol=1e-6
+    )
+
+    # unit transform applies
+    calc2 = External((model, params), embeddings, output_transform="eV/A -> kcal/mol/A")
+    e2, f2 = calc2.calculate(pos.copy())
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(energy) * 23.0609, rtol=1e-5)

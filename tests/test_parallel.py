@@ -1,0 +1,80 @@
+"""Multi-device tests the reference never had (SURVEY.md section 4):
+shard-count invariance of losses/energies on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from torchmdnet_tpu.data.batch import pad_molecules
+from torchmdnet_tpu.models.potential import create_model
+
+from utils import load_example_args, random_molecule
+
+
+def _batch(num_mol=8, atoms=6, capacity=64):
+    mols = [random_molecule(atoms, seed=i) for i in range(num_mol)]
+    return pad_molecules(mols, num_atoms=capacity, num_mol=num_mol)
+
+
+@pytest.mark.parametrize("model_name", ["equivariant-transformer", "tensornet"])
+def test_dp_sharded_energy_matches_single_device(model_name):
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    model = create_model(load_example_args(model_name, num_layers=1))
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    y_single, _ = model.apply(params, batch)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    def shard(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % 8 == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P("dp")))
+        return leaf
+    sharded = jax.tree_util.tree_map(shard, batch)
+
+    with mesh:
+        y_sharded, _ = jax.jit(lambda p, b: model.apply(p, b))(params, sharded)
+    np.testing.assert_allclose(
+        np.asarray(y_single), np.asarray(y_sharded), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dp_sharded_gradients_match(tmp_path):
+    """The DDP-parity property: gradients from a dp-sharded step equal the
+    single-device gradients (XLA inserts the psum the reference's NCCL
+    allreduce performed)."""
+    model = create_model(
+        load_example_args("graph-network", num_layers=1, derivative=True)
+    )
+    batch = _batch()
+    target_y = jnp.ones((batch.num_mol, 1))
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(p, b):
+        y, neg_dy = model.energy_and_forces(p, b)
+        return jnp.where(b.mol_mask[:, None], (y - target_y) ** 2, 0.0).sum()
+
+    g_single = jax.grad(loss_fn)(params, batch)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    def shard(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % 8 == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P("dp")))
+        return leaf
+    sharded = jax.tree_util.tree_map(shard, batch)
+    with mesh:
+        g_sharded = jax.jit(jax.grad(loss_fn))(params, sharded)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_sharded)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -1,0 +1,149 @@
+"""Data module: dataset instantiation, splits, standardization, loaders.
+
+Equivalent of the reference DataModule (torchmdnet/data.py) without
+Lightning: instantiates a dataset by name, builds train/val/test subsets from
+make_splits, optionally computes mean/std of (atomref-corrected) train
+energies, and hands out PaddedLoaders with a shared static atom capacity.
+"""
+
+import os
+from os.path import join
+from typing import Optional
+
+import numpy as np
+
+from torchmdnet_tpu.data import datasets as datasets_module
+from torchmdnet_tpu.data.datasets.base import Subset
+from torchmdnet_tpu.data.loader import PaddedLoader, _round_up
+from torchmdnet_tpu.utils import make_splits
+
+
+class MissingEnergyException(Exception):
+    pass
+
+
+class DataModule:
+    def __init__(self, hparams, dataset=None):
+        self.hparams = dict(hparams)
+        self._mean: Optional[float] = None
+        self._std: Optional[float] = None
+        self.dataset = dataset
+
+    def setup(self):
+        h = self.hparams
+        if self.dataset is None:
+            if h["dataset"] == "Custom":
+                self.dataset = datasets_module.Custom(
+                    h["coord_files"],
+                    h["embed_files"],
+                    h["energy_files"],
+                    h["force_files"],
+                )
+            else:
+                dataset_arg = {}
+                if h.get("dataset_arg") is not None:
+                    da = h["dataset_arg"]
+                    dataset_arg = da if isinstance(da, dict) else {"dataset_arg": da}
+                self.dataset = getattr(datasets_module, h["dataset"])(
+                    h["dataset_root"], **dataset_arg
+                )
+
+        os.makedirs(h.get("log_dir", "/tmp/logs"), exist_ok=True)
+        self.idx_train, self.idx_val, self.idx_test = make_splits(
+            len(self.dataset),
+            h.get("train_size"),
+            h.get("val_size"),
+            h.get("test_size"),
+            h.get("seed", 1),
+            join(h.get("log_dir", "/tmp/logs"), "splits.npz"),
+            h.get("splits"),
+        )
+        print(
+            f"train {len(self.idx_train)}, val {len(self.idx_val)}, "
+            f"test {len(self.idx_test)}"
+        )
+
+        self.train_dataset = Subset(self.dataset, self.idx_train)
+        self.val_dataset = Subset(self.dataset, self.idx_val)
+        self.test_dataset = Subset(self.dataset, self.idx_test)
+
+        # one shared static atom capacity for all stages -> one compilation
+        sizes = np.asarray(self.dataset.sample_sizes())
+        max_size = int(sizes.max()) if len(sizes) else 1
+        bs = max(h["batch_size"], h.get("inference_batch_size") or h["batch_size"])
+        self.num_atoms_pad = _round_up(bs * max_size, 8)
+
+        if h.get("standardize"):
+            self._standardize()
+
+    def _loader(self, dataset, stage):
+        h = self.hparams
+        shuffle = stage == "train"
+        batch_size = (
+            h["batch_size"]
+            if stage == "train"
+            else (h.get("inference_batch_size") or h["batch_size"])
+        )
+        extra = ("partial_charges",) if self._has_partial_charges() else ()
+        return PaddedLoader(
+            dataset,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            seed=h.get("seed", 1),
+            num_atoms_pad=self.num_atoms_pad,
+            extra_atom_keys=extra,
+        )
+
+    def _has_partial_charges(self):
+        if len(self.dataset) == 0:
+            return False
+        sample = self.dataset[0]
+        return "pq" in sample or "partial_charges" in sample
+
+    def train_dataloader(self):
+        return self._loader(self.train_dataset, "train")
+
+    def val_dataloader(self):
+        return self._loader(self.val_dataset, "val")
+
+    def test_dataloader(self):
+        return self._loader(self.test_dataset, "test")
+
+    @property
+    def atomref(self):
+        if hasattr(self.dataset, "get_atomref"):
+            return self.dataset.get_atomref()
+        return None
+
+    @property
+    def mean(self):
+        return self._mean
+
+    @property
+    def std(self):
+        return self._std
+
+    def _standardize(self):
+        """Mean/std of train energies minus atomref contributions
+        (reference data.py:150-180)."""
+        atomref = (
+            self.atomref if self.hparams.get("prior_model") == "Atomref" else None
+        )
+        ys = []
+        for i in range(len(self.train_dataset)):
+            sample = self.train_dataset[i]
+            if "y" not in sample:
+                import warnings
+
+                warnings.warn(
+                    "Standardize is true but failed to compute dataset mean and "
+                    "standard deviation. Maybe the dataset only contains forces."
+                )
+                return
+            y = float(np.asarray(sample["y"]).reshape(-1)[0])
+            if atomref is not None:
+                y -= float(np.asarray(atomref).reshape(-1)[sample["z"]].sum())
+            ys.append(y)
+        ys = np.asarray(ys)
+        self._mean = float(ys.mean())
+        self._std = float(ys.std(ddof=1))

@@ -1,0 +1,293 @@
+"""Model composition: representation -> output head -> priors -> reduction.
+
+TPU-native equivalent of the reference's TorchMD_Net container and factories
+(torchmdnet/models/model.py):
+
+- :class:`EnergyModel` is the pure flax module computing per-molecule scalars
+  (the reference forward up to the autograd step, model.py:232-283);
+- :class:`Potential` wraps it with ``jax.value_and_grad`` to produce forces
+  (the reference's ``derivative`` branch, model.py:286-298); force training
+  (grad-of-grad) is plain nested autodiff;
+- :func:`create_model` mirrors create_model(args) (model.py:15-118) including
+  the Equivariant-head prefix selection and the atom-filter wrapper semantics;
+- :func:`load_model` restores a model + params from a checkpoint
+  (model.py:121-143).
+"""
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from torchmdnet_tpu.data.batch import AtomicBatch
+from torchmdnet_tpu.models.et import TorchMD_ET
+from torchmdnet_tpu.models.graph_network import TorchMD_GN
+from torchmdnet_tpu.models.output_heads import head_class_mapping
+from torchmdnet_tpu.models.tensornet import TensorNet
+from torchmdnet_tpu.models.transformer import TorchMD_T
+from torchmdnet_tpu.ops.segment import segment_reduce
+from torchmdnet_tpu.priors import prior_class_mapping
+
+dtype_mapping = {16: jnp.bfloat16, 32: jnp.float32, 64: jnp.float64}
+
+
+class EnergyModel(nn.Module):
+    """representation -> pre_reduce -> *std -> priors -> reduce -> +mean -> post."""
+
+    representation: nn.Module
+    head: nn.Module
+    priors: Sequence[nn.Module] = ()
+    mean: float = 0.0
+    std: float = 1.0
+    atom_filter: int = -1
+
+    @nn.compact
+    def __call__(self, batch: AtomicBatch, box=None):
+        z, pos, batch_ids = batch.z, batch.pos, batch.batch
+        m = batch.num_mol
+
+        x, v = self.representation(
+            z, pos, batch_ids, batch.atom_mask, q=batch.q, s=batch.s, box=box
+        )
+
+        # AtomFilter (reference wrappers.py:29-62): atoms with Z <= threshold
+        # are excluded from the readout. Static-shape version: reassign them
+        # to the trash segment instead of slicing them out.
+        if self.atom_filter > -1:
+            keep = z > self.atom_filter
+            batch_ids = jnp.where(keep, batch_ids, m)
+
+        x = self.head.pre_reduce(x, v, z, pos, batch_ids)
+        x = x * jnp.asarray(self.std, x.dtype)
+
+        for prior in self.priors:
+            x = prior.pre_reduce(x, z, pos, batch_ids, batch.atom_mask, batch.extra)
+
+        # Padding atoms carry batch id == m (trash segment), so this masked
+        # reduce is exact; reduce_op mirrors output_modules.py:27-43.
+        y = segment_reduce(x, batch_ids, m + 1, self.head.reduce_op)[:m]
+        y = y + jnp.asarray(self.mean, y.dtype)
+        y = self.head.post_reduce(y)
+
+        for prior in self.priors:
+            y = prior.post_reduce(y, z, pos, batch_ids, batch.atom_mask, m, batch.extra)
+        return y
+
+
+@dataclasses.dataclass
+class Potential:
+    """User-facing bundle of (module, hyperparameters).
+
+    The reference returns an nn.Module whose forward optionally appends
+    forces; here the split is explicit and functional.
+    """
+
+    module: EnergyModel
+    args: Dict[str, Any]
+    derivative: bool = False
+
+    def init(self, rng, batch: AtomicBatch, box=None):
+        return self.module.init(rng, batch, box)
+
+    def apply(
+        self, params, batch: AtomicBatch, box=None
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Return (y (M, ...), neg_dy (N, 3) or None)."""
+        if not self.derivative:
+            return self.module.apply(params, batch, box), None
+        return self.energy_and_forces(params, batch, box)
+
+    def energy(self, params, batch: AtomicBatch, box=None) -> jnp.ndarray:
+        return self.module.apply(params, batch, box)
+
+    def energy_and_forces(self, params, batch: AtomicBatch, box=None):
+        """forces = -dE/dpos via autodiff (reference model.py:286-298).
+
+        Differentiating through this function (force-weighted training
+        losses) is supported: it is just one more grad order for JAX.
+        """
+
+        def energy_sum(pos):
+            y = self.module.apply(params, batch.replace(pos=pos), box)
+            return y.sum(), y
+
+        grads, y = jax.grad(energy_sum, has_aux=True)(batch.pos)
+        return y, -grads
+
+
+def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
+    shared = dict(
+        hidden_channels=args["embedding_dimension"],
+        num_layers=args["num_layers"],
+        num_rbf=args["num_rbf"],
+        rbf_type=args["rbf_type"],
+        trainable_rbf=args["trainable_rbf"],
+        activation=args["activation"],
+        cutoff_lower=args["cutoff_lower"],
+        cutoff_upper=args["cutoff_upper"],
+        max_z=args["max_z"],
+        max_num_neighbors=args["max_num_neighbors"],
+        dtype=dtype,
+    )
+    name = args["model"]
+    if name == "graph-network":
+        return TorchMD_GN(
+            num_filters=args["embedding_dimension"],
+            aggr=args.get("aggr", "add"),
+            neighbor_embedding=args.get("neighbor_embedding", False),
+            **shared,
+        )
+    if name == "transformer":
+        return TorchMD_T(
+            attn_activation=args.get("attn_activation", "silu"),
+            num_heads=args.get("num_heads", 8),
+            distance_influence=args.get("distance_influence", "both"),
+            neighbor_embedding=args.get("neighbor_embedding", False),
+            **shared,
+        )
+    if name == "equivariant-transformer":
+        return TorchMD_ET(
+            attn_activation=args.get("attn_activation", "silu"),
+            num_heads=args.get("num_heads", 8),
+            distance_influence=args.get("distance_influence", "both"),
+            neighbor_embedding=args.get("neighbor_embedding", False),
+            **shared,
+        )
+    if name == "tensornet":
+        return TensorNet(
+            equivariance_invariance_group=args.get(
+                "equivariance_invariance_group", "O(3)"
+            ),
+            **shared,
+        )
+    raise ValueError(f"Unknown architecture: {name}")
+
+
+def create_prior_models(args: Dict[str, Any], dataset=None):
+    """Parse the prior_model config (reference model.py:146-177).
+
+    Accepts a string, a dict {name: kwargs}, or a list of either; replays
+    ``prior_args`` saved in checkpoints when present.
+    """
+    from torchmdnet_tpu.priors.atomref import Atomref
+
+    prior_models = []
+    if not args.get("prior_model"):
+        return prior_models
+    prior_model = args["prior_model"]
+    prior_names: list = []
+    prior_args_list: list = []
+    if not isinstance(prior_model, list):
+        prior_model = [prior_model]
+    for prior in prior_model:
+        if isinstance(prior, dict):
+            for key, value in prior.items():
+                prior_names.append(key)
+                prior_args_list.append({} if value is None else value)
+        else:
+            prior_names.append(prior)
+            prior_args_list.append({})
+    if "prior_args" in args and args["prior_args"] is not None:
+        prior_args_list = args["prior_args"]
+        if not isinstance(prior_args_list, list):
+            prior_args_list = [prior_args_list]
+    for name, kwargs in zip(prior_names, prior_args_list):
+        assert name in prior_class_mapping, (
+            f"Unknown prior model {name}. "
+            f"Available models are {', '.join(prior_class_mapping)}"
+        )
+        kwargs = dict(kwargs)
+        if name == "Atomref":
+            if "initial_atomref" in kwargs:
+                kwargs["initial_atomref"] = tuple(kwargs["initial_atomref"])
+                prior_models.append(Atomref(**kwargs))
+            else:
+                prior_models.append(
+                    Atomref.from_dataset(dataset=dataset, max_z=kwargs.get("max_z"))
+                )
+        else:
+            cls = prior_class_mapping[name]
+            if dataset is not None:
+                kwargs.setdefault("atomic_number", getattr(dataset, "atomic_number", None))
+                kwargs.setdefault("distance_scale", getattr(dataset, "distance_scale", None))
+                kwargs.setdefault("energy_scale", getattr(dataset, "energy_scale", None))
+            kwargs = {k: v for k, v in kwargs.items() if v is not None}
+            if "atomic_number" in kwargs:
+                kwargs["atomic_number"] = tuple(int(v) for v in kwargs["atomic_number"])
+            prior_models.append(cls(**kwargs))
+    return prior_models
+
+
+def create_model(
+    args: Dict[str, Any],
+    prior_models=None,
+    mean: Optional[float] = None,
+    std: Optional[float] = None,
+) -> Potential:
+    """Build a Potential from a flat config dict (reference model.py:15-118)."""
+    args = dict(args)
+    dtype = dtype_mapping[args.get("precision", 32)]
+    is_equivariant = args["model"] == "equivariant-transformer"
+
+    representation = create_representation(args, dtype=dtype)
+
+    if args.get("atom_filter", -1) > -1 and args.get("derivative", False):
+        raise ValueError("Derivative and atom filter can't be used together")
+
+    if args.get("prior_model") and prior_models is None:
+        prior_models = create_prior_models(args)
+    prior_models = prior_models or []
+
+    head_name = args.get("output_model", "Scalar")
+    if is_equivariant and not head_name.startswith("Equivariant"):
+        head_name = "Equivariant" + head_name
+    head_cls = head_class_mapping[head_name]
+    head = head_cls(
+        hidden_channels=args["embedding_dimension"],
+        activation=args["activation"],
+        reduce_op=args.get("reduce_op", "sum"),
+        dtype=dtype,
+    )
+    if not head.allow_prior_model and prior_models:
+        import warnings
+
+        warnings.warn(
+            "Prior model was given but the output model does not allow prior "
+            "models. Dropping the prior model."
+        )
+        prior_models = []
+
+    module = EnergyModel(
+        representation=representation,
+        head=head,
+        priors=tuple(prior_models),
+        mean=0.0 if mean is None else float(mean),
+        std=1.0 if std is None else float(std),
+        atom_filter=args.get("atom_filter", -1),
+    )
+    return Potential(
+        module=module, args=args, derivative=bool(args.get("derivative", False))
+    )
+
+
+def load_model(filepath, args=None, **kwargs) -> Tuple[Potential, Any]:
+    """Load (Potential, params) from a checkpoint file.
+
+    Mirrors reference model.py:121-143: hyperparameters come from the
+    checkpoint unless overridden by kwargs.
+    """
+    from torchmdnet_tpu.train.checkpoints import load_checkpoint
+
+    ckpt = load_checkpoint(filepath)
+    if args is None:
+        args = ckpt["hyper_parameters"]
+    for key, value in kwargs.items():
+        if key not in args:
+            import warnings
+
+            warnings.warn(f"Unknown hyperparameter: {key}={value}")
+        args[key] = value
+    model = create_model(args)
+    return model, ckpt["params"]

@@ -1,0 +1,274 @@
+"""TPU-native neighbor search.
+
+Replaces the reference's native neighbor extension (torchmdnet/neighbors/:
+brute/shared/cell CUDA strategies returning a padded COO pair list) with a
+dense, statically-shaped **ELL format**: for each atom i we store up to K
+neighbor indices plus a validity mask:
+
+    idx  : (N, K) int32  -- neighbor j for each slot of atom i (invalid -> i)
+    mask : (N, K) bool   -- slot validity
+
+This is the layout a TPU wants: every downstream message-passing op becomes a
+dense gather -> vectorized edge math -> masked sum over the K axis.  It is the
+logical extension of the reference TensorNet's `static_shapes` trick
+(tensornet.py:176-189,214-226: pad the pair list to N*max_num_neighbors and
+re-point masked edges at atom 0) taken as the *native* representation.
+
+Determinism: slots are filled in ascending neighbor-index order (the CUDA
+kernels used atomicAdd slot allocation and were order-nondeterministic,
+common.cuh:106-116); here compaction is a masked top-k, fully deterministic.
+
+Differentiability: the neighbor *indices* are integers (no gradient); deltas
+and distances are recomputed from ``pos`` by :func:`edge_geometry` in plain
+JAX, so any order of autodiff (forces = grad, force-training = grad-of-grad)
+is exact and NaN-free — no custom VJP required (the reference needed a
+hand-written twice-differentiable backward, neighbors_cuda.cu:43-71).
+
+PBC: rectangular and reduced-form triclinic boxes via minimum-image, the same
+convention and box-validity preconditions as the reference
+(neighbors_cpu.cpp:31-48, common.cuh:142-206).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class NeighborList:
+    """Static-shape ELL neighbor list.
+
+    Attributes:
+        idx: (N, K) int32, neighbor index j per slot of atom i. Invalid slots
+            point at i itself (self), so gathers are always in-bounds.
+        mask: (N, K) bool, True where the slot holds a real neighbor.
+        self_loops: static bool; if True, column 0 is the self edge (i, i)
+            with distance 0, mirroring the reference's ``loop=True``.
+        n_neighbors: (N,) int32, the TRUE number of in-cutoff neighbors of each
+            atom (before capping at K). Used for overflow checks
+            (reference utils.py:251-257 check_errors).
+    """
+
+    idx: jnp.ndarray
+    mask: jnp.ndarray
+    n_neighbors: jnp.ndarray
+    self_loops: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def num_atoms(self):
+        return self.idx.shape[0]
+
+    @property
+    def k(self):
+        return self.idx.shape[1]
+
+    def without_self_loops(self) -> "NeighborList":
+        """Drop the self-loop column (used by NeighborEmbedding, utils.py:91-96)."""
+        if not self.self_loops:
+            return self
+        return NeighborList(
+            idx=self.idx[:, 1:],
+            mask=self.mask[:, 1:],
+            n_neighbors=self.n_neighbors,
+            self_loops=False,
+        )
+
+    def overflow(self) -> jnp.ndarray:
+        """Scalar bool: did any atom exceed the K-neighbor capacity?"""
+        k_real = self.k - (1 if self.self_loops else 0)
+        return jnp.any(self.n_neighbors > k_real)
+
+
+def minimum_image(delta, box):
+    """Apply minimum-image convention to displacement vectors.
+
+    ``box`` is (3, 3) with rows a, b, c in reduced triclinic form
+    (a[1]=a[2]=b[2]=0).  Sequential round-subtract in c, b, a order, exactly
+    the reference convention (neighbors_cpu.cpp:66-74, common.cuh:162-206).
+    For a rectangular box the off-diagonals are zero and this reduces to the
+    standard per-axis wrap.
+    """
+    delta = delta - jnp.round(delta[..., 2:3] / box[2, 2]) * box[2]
+    delta = delta - jnp.round(delta[..., 1:2] / box[1, 1]) * box[1]
+    delta = delta - jnp.round(delta[..., 0:1] / box[0, 0]) * box[0]
+    return delta
+
+
+def check_box(box, cutoff: float):
+    """Validate reduced triclinic box requirements (neighbors_cpu.cpp:31-48).
+
+    Host-side helper (raises); call outside jit.
+    """
+    import numpy as np
+
+    box = np.asarray(box)
+    if box.shape != (3, 3):
+        raise ValueError("box must have shape (3, 3)")
+    a, b, c = box
+    eps = 1e-5 * max(1.0, float(np.abs(box).max()))
+    if not (abs(a[1]) < eps and abs(a[2]) < eps and abs(b[2]) < eps):
+        raise ValueError("box is not in reduced form (a[1]=a[2]=b[2]=0 required)")
+    if a[0] < 2 * cutoff or b[1] < 2 * cutoff or c[2] < 2 * cutoff:
+        raise ValueError("box dimensions must be at least 2*cutoff")
+    if a[0] < 2 * abs(b[0]) or a[0] < 2 * abs(c[0]) or b[1] < 2 * abs(c[1]):
+        raise ValueError("triclinic box is not in reduced form")
+
+
+def safe_norm(x, axis=-1, keepdims=False):
+    """NaN-free (to all derivative orders) Euclidean norm.
+
+    Uses the double-where trick so both the forward value and every gradient
+    order are exact and finite at x == 0 (reference needed three separate
+    NaN-masking fixes: utils.py:429-437, utils.py:499-512,
+    neighbors_cuda.cu:51-57).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    nonzero = sq > 0
+    sq_safe = jnp.where(nonzero, sq, 1.0)
+    return jnp.where(nonzero, jnp.sqrt(sq_safe), 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "cutoff_lower", "cutoff_upper", "loop", "use_box"),
+)
+def _neighbor_list_brute(
+    pos,
+    batch,
+    atom_mask,
+    box,
+    *,
+    k: int,
+    cutoff_lower: float,
+    cutoff_upper: float,
+    loop: bool,
+    use_box: bool,
+):
+    n = pos.shape[0]
+    f32pos = (
+        pos.astype(jnp.float32)
+        if pos.dtype in (jnp.float16, jnp.bfloat16)
+        else pos
+    )
+
+    delta = f32pos[:, None, :] - f32pos[None, :, :]
+    if use_box:
+        delta = minimum_image(delta, box.astype(delta.dtype))
+    d2 = jnp.sum(delta * delta, axis=-1)
+
+    same_mol = batch[:, None] == batch[None, :]
+    both_real = atom_mask[:, None] & atom_mask[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    not_self = col != row
+    # Reference window semantics: cutoff_lower <= d < cutoff_upper
+    # (utils.py:131: "distance(i,j) >= cutoff_lower and distance(i,j) < cutoff_upper")
+    window = (d2 < cutoff_upper * cutoff_upper) & (d2 >= cutoff_lower * cutoff_lower)
+    valid = same_mol & both_real & not_self & window
+
+    n_neighbors = jnp.sum(valid, axis=1).astype(jnp.int32)
+
+    # Deterministic per-row compaction: keep the k valid neighbors with the
+    # smallest column index, in ascending order.
+    key = jnp.where(valid, col, n)
+    k_eff = min(k, n)
+    neg_top, _ = jax.lax.top_k(-key, k_eff)
+    idx = -neg_top  # (n, k_eff), ascending j; == n where slot empty
+    mask = idx < n
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, k_eff), 0)
+    idx = jnp.where(mask, idx, rows)
+    if k_eff < k:
+        pad = k - k_eff
+        idx = jnp.concatenate(
+            [idx, jnp.repeat(jnp.arange(n, dtype=idx.dtype)[:, None], pad, axis=1)],
+            axis=1,
+        )
+        mask = jnp.concatenate([mask, jnp.zeros((n, pad), dtype=bool)], axis=1)
+
+    if loop:
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        idx = jnp.concatenate([self_idx, idx], axis=1)
+        mask = jnp.concatenate([atom_mask[:, None], mask], axis=1)
+
+    return idx.astype(jnp.int32), mask, n_neighbors
+
+
+def neighbor_list(
+    pos,
+    batch=None,
+    atom_mask=None,
+    *,
+    k: int,
+    cutoff_lower: float = 0.0,
+    cutoff_upper: float = 5.0,
+    loop: bool = False,
+    box: Optional[jnp.ndarray] = None,
+) -> NeighborList:
+    """Build a static-shape ELL neighbor list with an O(N^2) masked search.
+
+    Equivalent in semantics to the reference's OptimizedDistance with
+    ``max_num_pairs=-k`` (per-atom cap, utils.py:234-236), include_transpose
+    (the ELL list is symmetric by construction: j appears in i's row iff i in
+    j's), and optional self-loops.
+
+    Args:
+        pos: (N, 3) positions.
+        batch: (N,) int molecule ids; None -> single molecule.
+        atom_mask: (N,) bool; False rows are padding and get no neighbors.
+        k: max neighbors per atom (static). The output has K = k (+1 if loop).
+        loop: include the self edge as column 0 (reference ``loop=True``).
+        box: optional (3, 3) periodic box (reduced triclinic rows a, b, c).
+
+    Returns:
+        NeighborList with idx/mask of shape (N, k + loop).
+    """
+    n = pos.shape[0]
+    if batch is None:
+        batch = jnp.zeros((n,), dtype=jnp.int32)
+    if atom_mask is None:
+        atom_mask = jnp.ones((n,), dtype=bool)
+    use_box = box is not None
+    if box is None:
+        box = jnp.eye(3, dtype=pos.dtype)
+    idx, mask, n_neighbors = _neighbor_list_brute(
+        pos,
+        batch,
+        atom_mask,
+        box,
+        k=int(k),
+        cutoff_lower=float(cutoff_lower),
+        cutoff_upper=float(cutoff_upper),
+        loop=bool(loop),
+        use_box=use_box,
+    )
+    return NeighborList(idx=idx, mask=mask, n_neighbors=n_neighbors, self_loops=loop)
+
+
+def edge_geometry(pos, nbl: NeighborList, box: Optional[jnp.ndarray] = None):
+    """Recompute edge displacement vectors and distances from positions.
+
+    Args:
+        pos: (N, 3).
+        nbl: NeighborList over the same atoms.
+        box: optional (3, 3) periodic box; must match the one used to build nbl.
+
+    Returns:
+        delta: (N, K, 3) with delta[i, s] = pos[j] - pos[i] (vector from the
+            receiving atom i to its neighbor j; each model applies its own
+            sign convention — ET uses +delta as d_ij, TensorNet uses -delta,
+            see torchmd_et.py:173-174 vs tensornet.py:209-226).
+        dist: (N, K) distances, exactly 0 on self-loops/invalid slots, with
+            NaN-free derivatives of all orders (safe_norm).
+    """
+    pj = pos[nbl.idx]  # (N, K, 3)
+    delta = pj - pos[:, None, :]
+    if box is not None:
+        delta = minimum_image(delta, box.astype(delta.dtype))
+    # Zero out invalid slots so padded edges contribute exactly nothing even
+    # before masking downstream (and keep grads clean through safe_norm).
+    delta = jnp.where(nbl.mask[..., None], delta, 0.0)
+    dist = safe_norm(delta, axis=-1)
+    return delta, dist

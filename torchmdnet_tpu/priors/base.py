@@ -1,0 +1,52 @@
+"""Prior model interface.
+
+Mirrors the reference BasePrior (torchmdnet/priors/base.py): priors hook into
+the potential either per-atom before reduction (``pre_reduce``) or
+per-molecule after (``post_reduce``).  Unlike the reference they receive the
+atom mask and static molecule capacity so padded batches reduce exactly.
+
+``get_init_args`` round-trips through checkpoints (prior_args in hparams,
+reference model.py:166-169).
+"""
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class BasePrior(nn.Module):
+    def get_init_args(self) -> Dict:
+        return {}
+
+    def pre_reduce(self, x, z, pos, batch_ids, atom_mask, extra: Optional[Dict] = None):
+        """Update per-atom scalar predictions x (N, 1)."""
+        return x
+
+    def post_reduce(
+        self,
+        y,
+        z,
+        pos,
+        batch_ids,
+        atom_mask,
+        num_mol: int,
+        extra: Optional[Dict] = None,
+    ):
+        """Update per-molecule predictions y (M, ...)."""
+        return y
+
+
+def molecular_pair_energy_sum(e_pair, batch_ids, atom_mask, mask, num_mol: int):
+    """Sum per-edge energies (N, K) into per-molecule energies (M, 1).
+
+    Every pair appears twice in the symmetric ELL list, so callers apply the
+    0.5 factor themselves (matching the reference's convention, e.g.
+    priors/zbl.py:61).
+    """
+    e_pair = jnp.where(mask, e_pair, 0.0)
+    per_atom = e_pair.sum(axis=1)  # (N,)
+    per_atom = jnp.where(atom_mask, per_atom, 0.0)
+    per_mol = jax.ops.segment_sum(per_atom, batch_ids, num_segments=num_mol + 1)
+    return per_mol[:num_mol, None]
