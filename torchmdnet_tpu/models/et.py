@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from torchmdnet_tpu.models.blocks import Embedding, LayerNorm, NeighborEmbedding, XavierDense
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import NeighborList, edge_geometry, neighbor_list
+from torchmdnet_tpu.ops.neighbors import (
+    NeighborList,
+    edge_geometry_components,
+    neighbor_list,
+)
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
@@ -92,14 +96,21 @@ class EquivariantMultiHeadAttention(nn.Module):
 
         x_msg = x_m * attn[..., None]  # (N, K, heads, hd)
 
+        # Vector messages, built per xyz component so the small (N, K) edge
+        # directions broadcast straight into the wide (heads, hd)-trailing
+        # tensors (no (N, K, 3) lane-padded intermediate).
         vec_per_head = vec.reshape(n, 3, heads, hd)
-        vec_j = vec_per_head[nbl.idx]  # (N, K, 3, heads, hd)
-        vec_msg = vec_j * vw1[:, :, None] + vw2[:, :, None] * edge_dir[..., None, None]
-        vec_msg = jnp.where(nbl.mask[:, :, None, None, None], vec_msg, 0.0)
+        mask4 = nbl.mask[:, :, None, None]
+        vec_agg_comps = []
+        for c in range(3):
+            vec_j_c = vec_per_head[:, c][nbl.idx]  # (N, K, heads, hd)
+            msg_c = vec_j_c * vw1 + vw2 * edge_dir[c][..., None, None]
+            msg_c = jnp.where(mask4, msg_c, 0.0)
+            vec_agg_comps.append(msg_c.sum(axis=1).reshape(n, h))
 
         # --- aggregate over neighbor slots (scatter-add analog) ---
         x_agg = x_msg.sum(axis=1).reshape(n, h)
-        vec_agg = vec_msg.sum(axis=1).reshape(n, 3, h)
+        vec_agg = jnp.stack(vec_agg_comps, axis=1)  # (N, 3, H)
 
         # --- node update (torchmd_et.py:309-312) ---
         o1, o2, o3 = jnp.split(XavierDense(3 * h, dtype=self.dtype)(x_agg), 3, axis=-1)
@@ -144,7 +155,7 @@ class TorchMD_ET(nn.Module):
             loop=True,
             box=box,
         )
-        delta, dist = edge_geometry(pos, nbl, box=box)
+        delta, dist = edge_geometry_components(pos, nbl, box=box)
 
         edge_attr = rbf_class_mapping[self.rbf_type](
             self.cutoff_lower,
@@ -156,9 +167,9 @@ class TorchMD_ET(nn.Module):
 
         # Unit vector from receiver i to neighbor j; zero for self/invalid
         # slots (the reference normalizes only non-self edges,
-        # torchmd_et.py:173-174).
-        dist_safe = jnp.where(dist > 0, dist, 1.0)
-        edge_dir = delta / dist_safe[..., None]
+        # torchmd_et.py:173-174).  Kept as per-component (N, K) arrays.
+        inv_dist = jnp.where(dist > 0, 1.0, 0.0) / jnp.where(dist > 0, dist, 1.0)
+        edge_dir = tuple(comp * inv_dist for comp in delta)
 
         if self.neighbor_embedding:
             x = NeighborEmbedding(

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from torchmdnet_tpu.models.blocks import Embedding, NeighborEmbedding, XavierDense
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import NeighborList, edge_geometry, neighbor_list
+from torchmdnet_tpu.ops.neighbors import NeighborList, edge_geometry_components, neighbor_list
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
@@ -125,7 +125,7 @@ class TorchMD_GN(nn.Module):
             loop=False,
             box=box,
         )
-        _, dist = edge_geometry(pos, nbl, box=box)
+        _, dist = edge_geometry_components(pos, nbl, box=box)
         edge_attr = rbf_class_mapping[self.rbf_type](
             self.cutoff_lower,
             self.cutoff_upper,

@@ -29,7 +29,7 @@ from torchmdnet_tpu.models.blocks import (
 )
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import edge_geometry, neighbor_list
+from torchmdnet_tpu.ops.neighbors import edge_geometry_components, neighbor_list
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
@@ -94,7 +94,7 @@ class TensorEmbedding(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, z, nbl, dist, edge_vec_norm, edge_attr):
+    def __call__(self, z, nbl, dist, edge_dir, edge_attr):
         h = self.hidden_channels
         act = act_fn_mapping[self.activation]
 
@@ -103,10 +103,38 @@ class TensorEmbedding(nn.Module):
         w2 = TorchDefaultDense(h, self.num_rbf, dtype=self.dtype)(edge_attr) * c
         w3 = TorchDefaultDense(h, self.num_rbf, dtype=self.dtype)(edge_attr) * c
 
-        eye = jnp.eye(3, dtype=edge_vec_norm.dtype)[:, :, None]
-        iij = eye * w1[..., None, None, :]  # (N, K, 3, 3, H)
-        aij = vector_to_skewtensor(edge_vec_norm)[..., None] * w2[..., None, None, :]
-        sij = vector_to_symtensor(edge_vec_norm)[..., None] * w3[..., None, None, :]
+        # Edge irrep tensors built straight from the (N, K) direction
+        # components into channel-last (N, K, 3, 3, H) — the 3x3 axes sit in
+        # the middle so H stays on the TPU lane dimension.
+        ex, ey, ez = edge_dir
+        zero = jnp.zeros_like(w1)
+
+        def e33(rows):
+            return jnp.stack(
+                [jnp.stack(r, axis=-2) for r in rows], axis=-3
+            )  # (N, K, 3, 3, H)
+
+        iij = e33(
+            [[w1, zero, zero], [zero, w1, zero], [zero, zero, w1]]
+        )
+        exw, eyw, ezw = ex[..., None] * w2, ey[..., None] * w2, ez[..., None] * w2
+        aij = e33(
+            [[zero, -ezw, eyw], [ezw, zero, -exw], [-eyw, exw, zero]]
+        )
+        v2 = (ex * ex + ey * ey + ez * ez)[..., None] / 3.0
+        sxx = (ex * ex)[..., None] - v2
+        syy = (ey * ey)[..., None] - v2
+        szz = (ez * ez)[..., None] - v2
+        sxy = (ex * ey)[..., None]
+        sxz = (ex * ez)[..., None]
+        syz = (ey * ez)[..., None]
+        sij = e33(
+            [
+                [sxx * w3, sxy * w3, sxz * w3],
+                [sxy * w3, syy * w3, syz * w3],
+                [sxz * w3, syz * w3, szz * w3],
+            ]
+        )
 
         zemb = Embedding(self.max_z, h, dtype=self.dtype)(z)  # (N, H)
         zij = TorchDefaultDense(h, 2 * h, dtype=self.dtype)(
@@ -232,7 +260,7 @@ class TensorNet(nn.Module):
             loop=True,
             box=box,
         )
-        delta, dist = edge_geometry(pos, nbl, box=box)
+        delta, dist = edge_geometry_components(pos, nbl, box=box)
         edge_attr = rbf_class_mapping[self.rbf_type](
             self.cutoff_lower,
             self.cutoff_upper,
@@ -242,9 +270,9 @@ class TensorNet(nn.Module):
         )(dist)
 
         # edge_vec = pos_i - pos_j = -delta; normalized except on self loops
-        # (weight 1 there, tensornet.py:223-226).
-        dist_safe = jnp.where(dist > 0, dist, 1.0)
-        edge_vec_norm = -delta / dist_safe[..., None]
+        # (weight 1 there, tensornet.py:223-226); kept as (N, K) components.
+        neg_inv = -(jnp.where(dist > 0, 1.0, 0.0) / jnp.where(dist > 0, dist, 1.0))
+        edge_dir = tuple(comp * neg_inv for comp in delta)
 
         x = TensorEmbedding(
             self.hidden_channels,
@@ -254,7 +282,7 @@ class TensorNet(nn.Module):
             self.cutoff_upper,
             self.max_z,
             dtype=self.dtype,
-        )(z, nbl, dist, edge_vec_norm, edge_attr)
+        )(z, nbl, dist, edge_dir, edge_attr)
 
         for _ in range(self.num_layers):
             x = Interaction(

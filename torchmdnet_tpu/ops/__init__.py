@@ -9,6 +9,7 @@ from torchmdnet_tpu.ops.neighbors import (  # noqa: F401
     NeighborList,
     neighbor_list,
     edge_geometry,
+    edge_geometry_components,
     safe_norm,
     minimum_image,
 )

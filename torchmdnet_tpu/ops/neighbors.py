@@ -154,10 +154,34 @@ def _neighbor_list_brute(
         else pos
     )
 
-    delta = f32pos[:, None, :] - f32pos[None, :, :]
+    # TPU layout note: never materialize an (N, N, 3) displacement tensor —
+    # a trailing dim of 3 pads to the 128-wide lane axis (42x HBM traffic).
     if use_box:
-        delta = minimum_image(delta, box.astype(delta.dtype))
-    d2 = jnp.sum(delta * delta, axis=-1)
+        # per-component (N, N) matrices; sequential triclinic round-subtract
+        # in c, b, a order (same convention as minimum_image()).
+        b = box.astype(f32pos.dtype)
+        dx = f32pos[:, None, 0] - f32pos[None, :, 0]
+        dy = f32pos[:, None, 1] - f32pos[None, :, 1]
+        dz = f32pos[:, None, 2] - f32pos[None, :, 2]
+        s = jnp.round(dz / b[2, 2])
+        dx, dy, dz = dx - s * b[2, 0], dy - s * b[2, 1], dz - s * b[2, 2]
+        s = jnp.round(dy / b[1, 1])
+        dx, dy = dx - s * b[1, 0], dy - s * b[1, 1]
+        s = jnp.round(dx / b[0, 0])
+        dx = dx - s * b[0, 0]
+        d2 = dx * dx + dy * dy + dz * dz
+    else:
+        # |xi - xj|^2 = |xi|^2 + |xj|^2 - 2 xi.xj — one small MXU matmul.
+        # Centering shrinks |x|^2 to keep the cancellation benign, and
+        # HIGHEST precision avoids bf16-pass boundary flips near the cutoff.
+        c = f32pos - jnp.mean(f32pos, axis=0, keepdims=True)
+        sq = jnp.sum(c * c, axis=-1)
+        d2 = (
+            sq[:, None]
+            + sq[None, :]
+            - 2.0 * jnp.dot(c, c.T, precision=jax.lax.Precision.HIGHEST)
+        )
+        d2 = jnp.maximum(d2, 0.0)
 
     same_mol = batch[:, None] == batch[None, :]
     both_real = atom_mask[:, None] & atom_mask[None, :]
@@ -247,28 +271,55 @@ def neighbor_list(
     return NeighborList(idx=idx, mask=mask, n_neighbors=n_neighbors, self_loops=loop)
 
 
-def edge_geometry(pos, nbl: NeighborList, box: Optional[jnp.ndarray] = None):
-    """Recompute edge displacement vectors and distances from positions.
+def edge_geometry_components(
+    pos, nbl: NeighborList, box: Optional[jnp.ndarray] = None
+):
+    """Edge displacement components and distances, recomputed from positions.
 
-    Args:
-        pos: (N, 3).
-        nbl: NeighborList over the same atoms.
-        box: optional (3, 3) periodic box; must match the one used to build nbl.
+    TPU layout note: the displacement is returned as THREE (N, K) arrays
+    rather than one (N, K, 3) tensor — a trailing dim of 3 would pad to the
+    128-wide lane axis and dominate HBM traffic.  Consumers stack components
+    directly into their wide (..., H)-trailing tensors.
 
     Returns:
-        delta: (N, K, 3) with delta[i, s] = pos[j] - pos[i] (vector from the
-            receiving atom i to its neighbor j; each model applies its own
-            sign convention — ET uses +delta as d_ij, TensorNet uses -delta,
-            see torchmd_et.py:173-174 vs tensornet.py:209-226).
+        (dx, dy, dz): (N, K) each; component s of pos[j] - pos[i] (vector
+            from receiving atom i to its neighbor j; ET uses +delta as d_ij,
+            TensorNet uses -delta, torchmd_et.py:173-174 vs
+            tensornet.py:209-226).  Zero on invalid slots.
         dist: (N, K) distances, exactly 0 on self-loops/invalid slots, with
-            NaN-free derivatives of all orders (safe_norm).
+            NaN-free derivatives of all orders.
     """
+    # One row-wise gather of (N, 3) is ~4x faster on TPU than three scalar
+    # gathers; split into components immediately after (the (N, K, 3) view is
+    # transient and fuses away).
     pj = pos[nbl.idx]  # (N, K, 3)
-    delta = pj - pos[:, None, :]
+    dx = pj[..., 0] - pos[:, None, 0]
+    dy = pj[..., 1] - pos[:, None, 1]
+    dz = pj[..., 2] - pos[:, None, 2]
     if box is not None:
-        delta = minimum_image(delta, box.astype(delta.dtype))
-    # Zero out invalid slots so padded edges contribute exactly nothing even
-    # before masking downstream (and keep grads clean through safe_norm).
-    delta = jnp.where(nbl.mask[..., None], delta, 0.0)
-    dist = safe_norm(delta, axis=-1)
-    return delta, dist
+        b = box.astype(pos.dtype)
+        s = jnp.round(dz / b[2, 2])
+        dx, dy, dz = dx - s * b[2, 0], dy - s * b[2, 1], dz - s * b[2, 2]
+        s = jnp.round(dy / b[1, 1])
+        dx, dy = dx - s * b[1, 0], dy - s * b[1, 1]
+        s = jnp.round(dx / b[0, 0])
+        dx = dx - s * b[0, 0]
+    # Zero invalid slots so padded edges contribute exactly nothing even
+    # before masking downstream (and keep grads clean through the safe sqrt).
+    dx = jnp.where(nbl.mask, dx, 0.0)
+    dy = jnp.where(nbl.mask, dy, 0.0)
+    dz = jnp.where(nbl.mask, dz, 0.0)
+    d2 = dx * dx + dy * dy + dz * dz
+    nonzero = d2 > 0
+    dist = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, d2, 1.0)), 0.0)
+    return (dx, dy, dz), dist
+
+
+def edge_geometry(pos, nbl: NeighborList, box: Optional[jnp.ndarray] = None):
+    """Like edge_geometry_components but stacked into delta (N, K, 3).
+
+    Prefer the components API in model code (layout, see above); this form
+    exists for tests and external users.
+    """
+    (dx, dy, dz), dist = edge_geometry_components(pos, nbl, box)
+    return jnp.stack([dx, dy, dz], axis=-1), dist
