@@ -75,6 +75,9 @@ def main():
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
 
+    # Small systems: one fused program (neighbor search + network).  Large
+    # systems (see model.neighbors) split the neighbor build into its own
+    # cached executable — the natural MD-loop structure.
     @jax.jit
     def forward(params, pos):
         return model.energy(params, batch.replace(pos=pos))

@@ -1,0 +1,95 @@
+"""Cell-list strategy: bitwise identical to brute across grids of shapes,
+cutoffs, batches, loops, PBC; overflow detection; split-program usage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchmdnet_tpu.ops.cell_list import neighbor_list_cell
+from torchmdnet_tpu.ops.neighbors import neighbor_list
+
+
+def _compare(pos, batch, k, cutoff, loop=False, box=None, atom_mask=None):
+    b = neighbor_list(
+        pos, batch, atom_mask, k=k, cutoff_upper=cutoff, loop=loop, box=box,
+        strategy="brute",
+    )
+    c = neighbor_list(
+        pos, batch, atom_mask, k=k, cutoff_upper=cutoff, loop=loop, box=box,
+        strategy="cell",
+    )
+    np.testing.assert_array_equal(np.asarray(b.idx), np.asarray(c.idx))
+    np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(c.mask))
+    np.testing.assert_array_equal(
+        np.asarray(b.n_neighbors), np.asarray(c.n_neighbors)
+    )
+    assert not bool(c.cell_overflow)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("cutoff", [1.5, 3.0])
+@pytest.mark.parametrize("loop", [False, True])
+def test_cell_matches_brute(seed, cutoff, loop):
+    rng = np.random.default_rng(seed)
+    n = 70
+    pos = jnp.asarray(6.0 * rng.standard_normal((n, 3)), jnp.float32)
+    batch = jnp.asarray(np.sort(rng.integers(0, 3, n)), jnp.int32)
+    _compare(pos, batch, k=n, cutoff=cutoff, loop=loop)
+
+
+def test_cell_matches_brute_pbc_rect():
+    rng = np.random.default_rng(5)
+    n = 60
+    pos = jnp.asarray(7.0 * rng.random((n, 3)) - 20.0, jnp.float32)  # unwrapped
+    box = jnp.diag(jnp.asarray([7.0, 7.0, 7.0], jnp.float32))
+    _compare(pos, jnp.zeros(n, jnp.int32), k=n, cutoff=2.0, box=box)
+
+
+def test_cell_padding_atoms():
+    rng = np.random.default_rng(9)
+    n = 40
+    pos = np.zeros((n, 3), np.float32)
+    pos[:30] = 5.0 * rng.standard_normal((30, 3))
+    atom_mask = jnp.asarray([True] * 30 + [False] * 10)
+    _compare(
+        jnp.asarray(pos), jnp.zeros(n, jnp.int32), k=n, cutoff=2.5,
+        atom_mask=atom_mask,
+    )
+
+
+def test_cell_overflow_flag():
+    # 40 atoms piled into one cell with capacity 4 -> bucket overflow
+    pos = jnp.asarray(np.random.default_rng(0).random((40, 3)), jnp.float32)
+    nbl = neighbor_list_cell(pos, k=40, cutoff_upper=5.0, cell_capacity=4)
+    assert bool(nbl.cell_overflow)
+
+
+def test_cell_lower_cutoff():
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(4.0 * rng.standard_normal((50, 3)), jnp.float32)
+    b = neighbor_list(pos, k=50, cutoff_lower=1.0, cutoff_upper=3.0, strategy="brute")
+    c = neighbor_list(pos, k=50, cutoff_lower=1.0, cutoff_upper=3.0, strategy="cell")
+    np.testing.assert_array_equal(np.asarray(b.idx), np.asarray(c.idx))
+
+
+def test_precomputed_nbl_matches_internal():
+    """Potential.neighbors + apply(nbl=...) == apply() (split-program path)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from utils import load_example_args, random_molecule
+
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+
+    for model_name in ["graph-network", "equivariant-transformer"]:
+        model = create_model(load_example_args(model_name, num_layers=1))
+        batch = pad_molecules([random_molecule(8, seed=1)], num_atoms=8, num_mol=1)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        y_internal, _ = model.apply(params, batch)
+        nbl = model.neighbors(batch)
+        y_pre, _ = model.apply(params, batch, nbl=nbl)
+        np.testing.assert_allclose(np.asarray(y_internal), np.asarray(y_pre), rtol=1e-6)
+        nbl_cell = model.neighbors(batch, strategy="cell")
+        y_cell, _ = model.apply(params, batch, nbl=nbl_cell)
+        np.testing.assert_allclose(np.asarray(y_internal), np.asarray(y_cell), rtol=1e-6)

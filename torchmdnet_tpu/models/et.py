@@ -139,22 +139,24 @@ class TorchMD_ET(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, z, pos, batch, atom_mask=None, q=None, s=None, box=None):
+    def __call__(self, z, pos, batch, atom_mask=None, q=None, s=None, box=None, nbl=None):
         assert self.distance_influence in ("keys", "values", "both", "none")
         assert self.hidden_channels % self.num_heads == 0
 
         x = Embedding(self.max_z, self.hidden_channels, dtype=self.dtype)(z)
 
-        nbl = neighbor_list(
-            pos,
-            batch,
-            atom_mask,
-            k=self.max_num_neighbors,
-            cutoff_lower=self.cutoff_lower,
-            cutoff_upper=self.cutoff_upper,
-            loop=True,
-            box=box,
-        )
+        if nbl is None:
+            nbl = neighbor_list(
+                pos,
+                batch,
+                atom_mask,
+                k=self.max_num_neighbors,
+                cutoff_lower=self.cutoff_lower,
+                cutoff_upper=self.cutoff_upper,
+                loop=True,
+                box=box,
+            )
+        assert nbl.self_loops == True
         delta, dist = edge_geometry_components(pos, nbl, box=box)
 
         edge_attr = rbf_class_mapping[self.rbf_type](

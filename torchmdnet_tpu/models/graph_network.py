@@ -110,21 +110,23 @@ class TorchMD_GN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, z, pos, batch, atom_mask=None, q=None, s=None, box=None):
+    def __call__(self, z, pos, batch, atom_mask=None, q=None, s=None, box=None, nbl=None):
         assert self.aggr in ("add", "mean", "max")
 
         x = Embedding(self.max_z, self.hidden_channels, dtype=self.dtype)(z)
 
-        nbl = neighbor_list(
-            pos,
-            batch,
-            atom_mask,
-            k=self.max_num_neighbors,
-            cutoff_lower=self.cutoff_lower,
-            cutoff_upper=self.cutoff_upper,
-            loop=False,
-            box=box,
-        )
+        if nbl is None:
+            nbl = neighbor_list(
+                pos,
+                batch,
+                atom_mask,
+                k=self.max_num_neighbors,
+                cutoff_lower=self.cutoff_lower,
+                cutoff_upper=self.cutoff_upper,
+                loop=False,
+                box=box,
+            )
+        assert nbl.self_loops == False
         _, dist = edge_geometry_components(pos, nbl, box=box)
         edge_attr = rbf_class_mapping[self.rbf_type](
             self.cutoff_lower,

@@ -44,12 +44,12 @@ class EnergyModel(nn.Module):
     atom_filter: int = -1
 
     @nn.compact
-    def __call__(self, batch: AtomicBatch, box=None):
+    def __call__(self, batch: AtomicBatch, box=None, nbl=None):
         z, pos, batch_ids = batch.z, batch.pos, batch.batch
         m = batch.num_mol
 
         x, v = self.representation(
-            z, pos, batch_ids, batch.atom_mask, q=batch.q, s=batch.s, box=box
+            z, pos, batch_ids, batch.atom_mask, q=batch.q, s=batch.s, box=box, nbl=nbl
         )
 
         # AtomFilter (reference wrappers.py:29-62): atoms with Z <= threshold
@@ -92,17 +92,17 @@ class Potential:
         return self.module.init(rng, batch, box)
 
     def apply(
-        self, params, batch: AtomicBatch, box=None
+        self, params, batch: AtomicBatch, box=None, nbl=None
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Return (y (M, ...), neg_dy (N, 3) or None)."""
         if not self.derivative:
-            return self.module.apply(params, batch, box), None
-        return self.energy_and_forces(params, batch, box)
+            return self.module.apply(params, batch, box, nbl), None
+        return self.energy_and_forces(params, batch, box, nbl)
 
-    def energy(self, params, batch: AtomicBatch, box=None) -> jnp.ndarray:
-        return self.module.apply(params, batch, box)
+    def energy(self, params, batch: AtomicBatch, box=None, nbl=None) -> jnp.ndarray:
+        return self.module.apply(params, batch, box, nbl)
 
-    def energy_and_forces(self, params, batch: AtomicBatch, box=None):
+    def energy_and_forces(self, params, batch: AtomicBatch, box=None, nbl=None):
         """forces = -dE/dpos via autodiff (reference model.py:286-298).
 
         Differentiating through this function (force-weighted training
@@ -110,11 +110,37 @@ class Potential:
         """
 
         def energy_sum(pos):
-            y = self.module.apply(params, batch.replace(pos=pos), box)
+            y = self.module.apply(params, batch.replace(pos=pos), box, nbl)
             return y.sum(), y
 
         grads, y = jax.grad(energy_sum, has_aux=True)(batch.pos)
         return y, -grads
+
+    def neighbors(self, batch: AtomicBatch, box=None, strategy: str = "auto"):
+        """Build the representation's neighbor list as a standalone (jitted)
+        step.
+
+        Passing the result into apply/energy keeps the (integer-valued,
+        gradient-free) neighbor search in its own XLA program — the natural
+        MD structure, and required for very large systems.  Distances are
+        recomputed from positions inside the model, so autodiff through
+        positions is unaffected.
+        """
+        from torchmdnet_tpu.ops.neighbors import neighbor_list
+
+        a = self.args
+        loop = a["model"] != "graph-network"
+        return neighbor_list(
+            batch.pos,
+            batch.batch,
+            batch.atom_mask,
+            k=a["max_num_neighbors"],
+            cutoff_lower=a.get("cutoff_lower", 0.0),
+            cutoff_upper=a.get("cutoff_upper", 5.0),
+            loop=loop,
+            box=box,
+            strategy=strategy,
+        )
 
 
 def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:

@@ -37,6 +37,10 @@ import jax.numpy as jnp
 from flax import struct
 
 
+# atom count at which 'auto' switches from brute to the cell list
+_AUTO_CELL_THRESHOLD = 6144
+
+
 @struct.dataclass
 class NeighborList:
     """Static-shape ELL neighbor list.
@@ -56,6 +60,9 @@ class NeighborList:
     mask: jnp.ndarray
     n_neighbors: jnp.ndarray
     self_loops: bool = struct.field(pytree_node=False, default=False)
+    # cell strategy only: scalar bool, True if a hash bucket overflowed its
+    # static capacity (neighbors may then be incomplete; raise on host).
+    cell_overflow: Optional[jnp.ndarray] = None
 
     @property
     def num_atoms(self):
@@ -74,6 +81,7 @@ class NeighborList:
             mask=self.mask[:, 1:],
             n_neighbors=self.n_neighbors,
             self_loops=False,
+            cell_overflow=self.cell_overflow,
         )
 
     def overflow(self) -> jnp.ndarray:
@@ -230,6 +238,7 @@ def neighbor_list(
     cutoff_upper: float = 5.0,
     loop: bool = False,
     box: Optional[jnp.ndarray] = None,
+    strategy: str = "auto",
 ) -> NeighborList:
     """Build a static-shape ELL neighbor list with an O(N^2) masked search.
 
@@ -245,11 +254,32 @@ def neighbor_list(
         k: max neighbors per atom (static). The output has K = k (+1 if loop).
         loop: include the self edge as column 0 (reference ``loop=True``).
         box: optional (3, 3) periodic box (reduced triclinic rows a, b, c).
+        strategy: 'brute' (O(N^2) masked search), 'cell' (hash-bucketed cell
+            list, O(N)), or 'auto' (cell above _AUTO_CELL_THRESHOLD atoms —
+            the analog of the reference's brute->shared auto-switch at 32k,
+            neighbors_cuda.cu:80-83).
 
     Returns:
         NeighborList with idx/mask of shape (N, k + loop).
     """
     n = pos.shape[0]
+    if strategy == "auto":
+        strategy = "cell" if n >= _AUTO_CELL_THRESHOLD else "brute"
+    if strategy == "cell":
+        from torchmdnet_tpu.ops.cell_list import neighbor_list_cell
+
+        return neighbor_list_cell(
+            pos,
+            batch,
+            atom_mask,
+            k=k,
+            cutoff_lower=cutoff_lower,
+            cutoff_upper=cutoff_upper,
+            loop=loop,
+            box=box,
+        )
+    if strategy != "brute":
+        raise ValueError(f"Unknown neighbor strategy: {strategy}")
     if batch is None:
         batch = jnp.zeros((n,), dtype=jnp.int32)
     if atom_mask is None:
