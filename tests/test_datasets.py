@@ -175,3 +175,32 @@ def test_padded_loader_shapes():
     # shuffling differs across epochs
     b2 = next(iter(loader))
     assert not np.array_equal(np.asarray(batches[0].pos), np.asarray(b2.pos))
+
+
+def test_native_collate_matches_numpy():
+    """C++ collation engine produces identical batches to the numpy path."""
+    from torchmdnet_tpu.data.native_collate import load_library
+
+    if load_library() is None:
+        pytest.skip("no C++ toolchain")
+
+    ds = DummyDataset(num_samples=16, num_atoms=6)
+    fast = PaddedLoader(ds, batch_size=5, shuffle=False, use_native=True)
+    slow = PaddedLoader(ds, batch_size=5, shuffle=False, use_native=False)
+    for a, b in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+        np.testing.assert_array_equal(np.asarray(a.batch), np.asarray(b.batch))
+        np.testing.assert_array_equal(np.asarray(a.atom_mask), np.asarray(b.atom_mask))
+        np.testing.assert_array_equal(np.asarray(a.mol_mask), np.asarray(b.mol_mask))
+        np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+        np.testing.assert_array_equal(np.asarray(a.neg_dy), np.asarray(b.neg_dy))
+
+
+def test_prefetching_loader():
+    ds = DummyDataset(num_samples=12, num_atoms=5)
+    plain = list(PaddedLoader(ds, batch_size=4, shuffle=True, seed=3))
+    pre = list(PaddedLoader(ds, batch_size=4, shuffle=True, seed=3, prefetch=2))
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))

@@ -8,11 +8,15 @@ an optional explicit override.
 """
 
 import math
+import queue
+import threading
 from typing import Iterator, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from torchmdnet_tpu.data.batch import AtomicBatch, pad_molecules
+from torchmdnet_tpu.data.native_collate import fast_pad_collate
 
 
 def _round_up(x, m):
@@ -29,6 +33,8 @@ class PaddedLoader:
         num_atoms_pad: Optional[int] = None,
         extra_atom_keys: Sequence[str] = (),
         drop_last: bool = False,
+        use_native: bool = True,
+        prefetch: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -37,6 +43,8 @@ class PaddedLoader:
         self.extra_atom_keys = tuple(extra_atom_keys)
         self.drop_last = drop_last
         self.epoch = 0
+        self.use_native = use_native
+        self.prefetch = prefetch
         if num_atoms_pad is None:
             sizes = np.asarray(dataset.sample_sizes())
             max_size = int(sizes.max()) if len(sizes) else 1
@@ -49,7 +57,41 @@ class PaddedLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[AtomicBatch]:
+    def _collate(self, mols) -> AtomicBatch:
+        for m in mols:
+            if "pq" in m and "partial_charges" not in m:
+                m["partial_charges"] = m["pq"]
+        if self.use_native and set(self.extra_atom_keys) <= {"partial_charges"}:
+            out = fast_pad_collate(mols, self.num_atoms_pad, self.batch_size)
+            if out is not None:
+                extra = {}
+                if "partial_charges" in self.extra_atom_keys:
+                    extra["partial_charges"] = jnp.asarray(
+                        out["pq"]
+                        if out["pq"] is not None
+                        else np.zeros(self.num_atoms_pad, np.float32)
+                    )
+                return AtomicBatch(
+                    z=jnp.asarray(out["z"]),
+                    pos=jnp.asarray(out["pos"]),
+                    batch=jnp.asarray(out["batch"]),
+                    atom_mask=jnp.asarray(out["atom_mask"]),
+                    mol_mask=jnp.asarray(out["mol_mask"]),
+                    num_mol=self.batch_size,
+                    y=None if out["y"] is None else jnp.asarray(out["y"]),
+                    neg_dy=None if out["neg_dy"] is None else jnp.asarray(out["neg_dy"]),
+                    q=None if out["q"] is None else jnp.asarray(out["q"]),
+                    s=None if out["s"] is None else jnp.asarray(out["s"]),
+                    extra=extra,
+                )
+        return pad_molecules(
+            mols,
+            num_atoms=self.num_atoms_pad,
+            num_mol=self.batch_size,
+            extra_atom_keys=self.extra_atom_keys,
+        )
+
+    def _batches(self) -> Iterator[AtomicBatch]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -60,12 +102,29 @@ class PaddedLoader:
             if self.drop_last and len(idxs) < self.batch_size:
                 break
             mols = [self.dataset[int(i)] for i in idxs]
-            for m in mols:
-                if "pq" in m and "partial_charges" not in m:
-                    m["partial_charges"] = m["pq"]
-            yield pad_molecules(
-                mols,
-                num_atoms=self.num_atoms_pad,
-                num_mol=self.batch_size,
-                extra_atom_keys=self.extra_atom_keys,
-            )
+            yield self._collate(mols)
+
+    def __iter__(self) -> Iterator[AtomicBatch]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        # background-thread prefetch: overlap host-side dataset reads +
+        # collation with device compute (the reference leaned on torch
+        # DataLoader workers for this, data.py:127-148)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
