@@ -93,3 +93,19 @@ def test_precomputed_nbl_matches_internal():
         nbl_cell = model.neighbors(batch, strategy="cell")
         y_cell, _ = model.apply(params, batch, nbl=nbl_cell)
         np.testing.assert_allclose(np.asarray(y_internal), np.asarray(y_cell), rtol=1e-6)
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_pallas_compaction_matches_brute(loop):
+    """The Pallas streaming-compaction kernel (interpret mode on CPU) is
+    bitwise identical to the XLA brute strategy."""
+    rng = np.random.default_rng(7)
+    n = 150
+    pos = jnp.asarray(7.0 * rng.standard_normal((n, 3)), jnp.float32)
+    batch = jnp.asarray(np.sort(rng.integers(0, 2, n)), jnp.int32)
+    am = jnp.asarray(rng.random(n) > 0.1)
+    b = neighbor_list(pos, batch, am, k=24, cutoff_upper=3.5, loop=loop, strategy="brute")
+    p = neighbor_list(pos, batch, am, k=24, cutoff_upper=3.5, loop=loop, strategy="brute-pallas")
+    np.testing.assert_array_equal(np.asarray(b.idx), np.asarray(p.idx))
+    np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(p.mask))
+    np.testing.assert_array_equal(np.asarray(b.n_neighbors), np.asarray(p.n_neighbors))

@@ -1,0 +1,248 @@
+"""Reference-parity tests.
+
+1. A straightforward NumPy edge-list implementation of the reference ET
+   equations (torchmd_et.py math, written directly from the paper/reference
+   semantics with explicit loops over dynamic COO edges) must match the
+   framework's vectorized static-shape ET bit-for-bit (to fp32 tolerance).
+   This validates the math independently of both frameworks' machinery.
+
+2. The torch-checkpoint importer round-trips: a synthetic state_dict in the
+   reference's exact naming produces a flax param tree the model accepts, and
+   changing any imported tensor changes the output (no silently dropped
+   weights).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchmdnet_tpu.data.batch import pad_molecules
+from torchmdnet_tpu.models.potential import create_model
+from torchmdnet_tpu.tools.import_torch import import_state_dict
+
+from utils import load_example_args, random_molecule
+
+
+def _np_silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def _np_layernorm(x, scale, bias, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def _np_expnorm(d, means, betas, cutoff_upper):
+    cut = 0.5 * (np.cos(d * np.pi / cutoff_upper) + 1.0) * (d < cutoff_upper)
+    alpha = 5.0 / cutoff_upper
+    return cut[:, None] * np.exp(
+        -betas[None, :] * (np.exp(alpha * (-d))[:, None] - means[None, :]) ** 2
+    )
+
+
+def _np_cutoff(d, cutoff_upper):
+    return 0.5 * (np.cos(d * np.pi / cutoff_upper) + 1.0) * (d < cutoff_upper)
+
+
+def numpy_et_forward(params, z, pos, args):
+    """Direct edge-list ET (reference torchmd_et.py equations)."""
+    rp = params["params"]["representation"]
+    h = args["embedding_dimension"]
+    heads = args["num_heads"]
+    hd = h // heads
+    cutoff = args["cutoff_upper"]
+    n = len(z)
+
+    # dynamic COO edge list with self loops (loop=True), include transpose
+    edges = [(i, i) for i in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i != j and np.linalg.norm(pos[i] - pos[j]) < cutoff:
+                edges.append((j, i))  # source j -> target i
+    src = np.array([e[0] for e in edges])
+    tgt = np.array([e[1] for e in edges])
+    vec_ij = pos[src] - pos[tgt]  # d_ij convention (torchmd_et.py:173-174)
+    dist = np.linalg.norm(vec_ij, axis=1)
+    dist[src == tgt] = 0.0
+    dir_ij = np.zeros_like(vec_ij)
+    nz = dist > 0
+    dir_ij[nz] = vec_ij[nz] / dist[nz, None]
+
+    x = np.asarray(rp["Embed_0"]["embedding"])[z]
+    rbf = _np_expnorm(
+        dist,
+        np.asarray(rp["ExpNormalSmearing_0"]["means"]) if "ExpNormalSmearing_0" in rp
+        else _default_means(args),
+        np.asarray(rp["ExpNormalSmearing_0"]["betas"]) if "ExpNormalSmearing_0" in rp
+        else _default_betas(args),
+        cutoff,
+    )
+
+    # neighbor embedding (utils.py:43-108), self loops removed
+    ne = rp["NeighborEmbedding_0"]
+    mask_ns = src != tgt
+    c = _np_cutoff(dist[mask_ns], cutoff)
+    w = (rbf[mask_ns] @ ne["Dense_0"]["kernel"] + ne["Dense_0"]["bias"]) * c[:, None]
+    xn = np.asarray(ne["Embed_0"]["embedding"])[z]
+    agg = np.zeros_like(x)
+    for e_idx, (j, i) in enumerate(zip(src[mask_ns], tgt[mask_ns])):
+        agg[i] += xn[j] * w[e_idx]
+    x = np.concatenate([x, agg], axis=1) @ ne["Dense_1"]["kernel"] + ne["Dense_1"]["bias"]
+
+    vec = np.zeros((n, 3, h))
+    for li in range(args["num_layers"]):
+        lp = rp[f"EquivariantMultiHeadAttention_{li}"]
+        xl = _np_layernorm(x, lp["LayerNorm_0"]["scale"], lp["LayerNorm_0"]["bias"])
+        q = (xl @ lp["Dense_0"]["kernel"] + lp["Dense_0"]["bias"]).reshape(n, heads, hd)
+        k = (xl @ lp["Dense_1"]["kernel"] + lp["Dense_1"]["bias"]).reshape(n, heads, hd)
+        v = (xl @ lp["Dense_2"]["kernel"] + lp["Dense_2"]["bias"]).reshape(n, heads, 3 * hd)
+        vec123 = vec @ lp["Dense_3"]["kernel"]  # (n, 3, 3h)
+        vec1, vec2, vec3 = np.split(vec123, 3, axis=-1)
+        vec_dot = (vec1 * vec2).sum(axis=1)
+        dk = _np_silu(rbf @ lp["Dense_4"]["kernel"] + lp["Dense_4"]["bias"]).reshape(
+            -1, heads, hd
+        )
+        dv = _np_silu(rbf @ lp["Dense_5"]["kernel"] + lp["Dense_5"]["bias"]).reshape(
+            -1, heads, 3 * hd
+        )
+
+        x_agg = np.zeros((n, heads, hd))
+        vec_agg = np.zeros((n, 3, heads, hd))
+        for e in range(len(src)):
+            j, i = src[e], tgt[e]
+            attn = (q[i] * k[j] * dk[e]).sum(-1)  # (heads,)
+            attn = _np_silu(attn) * _np_cutoff(dist[e], cutoff)
+            vj = v[j] * dv[e]
+            xm, vw1, vw2 = np.split(vj, 3, axis=-1)
+            x_agg[i] += xm * attn[:, None]
+            vec_agg[i] += vec[j].reshape(3, heads, hd) * vw1[None] + vw2[None] * dir_ij[
+                e
+            ].reshape(3, 1, 1)
+        x_aggf = x_agg.reshape(n, h)
+        o = x_aggf @ lp["Dense_6"]["kernel"] + lp["Dense_6"]["bias"]
+        o1, o2, o3 = np.split(o, 3, axis=-1)
+        x = x + vec_dot * o2 + o3
+        vec = vec + vec3 * o1[:, None, :] + vec_agg.reshape(n, 3, h)
+
+    x = _np_layernorm(
+        x,
+        rp["LayerNorm_0"]["scale"],
+        rp["LayerNorm_0"]["bias"],
+    )
+    return x, vec
+
+
+def test_et_matches_numpy_edge_list_oracle():
+    args = load_example_args(
+        "equivariant-transformer",
+        num_layers=2,
+        embedding_dimension=32,
+        num_rbf=8,
+        num_heads=4,
+        trainable_rbf=True,
+    )
+    model = create_model(args)
+    mol = random_molecule(9, seed=5, scale=1.2)
+    batch = pad_molecules([mol], num_atoms=12, num_mol=1)
+    params = model.init(jax.random.PRNGKey(3), batch)
+
+    # framework representation output
+    rep = model.module.representation
+    x_jax, vec_jax = rep.apply(
+        {"params": params["params"]["representation"]},
+        batch.z,
+        batch.pos,
+        batch.batch,
+        batch.atom_mask,
+    )
+    x_np, vec_np = numpy_et_forward(
+        params, np.asarray(mol["z"]), np.asarray(mol["pos"], np.float64), args
+    )
+    n = len(mol["z"])
+    np.testing.assert_allclose(np.asarray(x_jax)[:n], x_np, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vec_jax)[:n], vec_np, rtol=2e-4, atol=2e-5)
+
+
+def _torch_like_state_dict(args, rng):
+    """Synthetic reference state_dict with the exact reference key names."""
+    h = args["embedding_dimension"]
+    r = args["num_rbf"]
+    maxz = args["max_z"]
+
+    def lin(prefix, din, dout, bias=True, sd=None):
+        sd[prefix + ".weight"] = rng.standard_normal((dout, din)).astype(np.float32) * 0.1
+        if bias:
+            sd[prefix + ".bias"] = rng.standard_normal(dout).astype(np.float32) * 0.1
+
+    sd = {}
+    p = "model.representation_model"
+    sd[p + ".embedding.weight"] = rng.standard_normal((maxz, h)).astype(np.float32)
+    sd[p + ".distance_expansion.means"] = np.linspace(0.1, 1, r).astype(np.float32)
+    sd[p + ".distance_expansion.betas"] = np.full(r, 2.0, np.float32)
+    lin(p + ".neighbor_embedding.distance_proj", r, h, sd=sd)
+    sd[p + ".neighbor_embedding.embedding.weight"] = rng.standard_normal((maxz, h)).astype(np.float32)
+    lin(p + ".neighbor_embedding.combine", 2 * h, h, sd=sd)
+    for i in range(args["num_layers"]):
+        lp = f"{p}.attention_layers.{i}"
+        sd[lp + ".layernorm.weight"] = np.ones(h, np.float32)
+        sd[lp + ".layernorm.bias"] = np.zeros(h, np.float32)
+        lin(lp + ".q_proj", h, h, sd=sd)
+        lin(lp + ".k_proj", h, h, sd=sd)
+        lin(lp + ".v_proj", h, 3 * h, sd=sd)
+        lin(lp + ".vec_proj", h, 3 * h, bias=False, sd=sd)
+        lin(lp + ".dk_proj", r, h, sd=sd)
+        lin(lp + ".dv_proj", r, 3 * h, sd=sd)
+        lin(lp + ".o_proj", h, 3 * h, sd=sd)
+    sd[p + ".out_norm.weight"] = np.ones(h, np.float32)
+    sd[p + ".out_norm.bias"] = np.zeros(h, np.float32)
+    # EquivariantScalar head: two gated blocks
+    for bi, (din, dout) in enumerate([(h, h // 2), (h // 2, 1)]):
+        bp = f"model.output_model.output_network.{bi}"
+        lin(bp + ".vec1_proj", din, din, bias=False, sd=sd)
+        lin(bp + ".vec2_proj", din, dout, bias=False, sd=sd)
+        lin(bp + ".update_net.0", 2 * din, din, sd=sd)
+        lin(bp + ".update_net.2", din, 2 * dout, sd=sd)
+    return sd
+
+
+def test_torch_state_dict_import():
+    args = load_example_args(
+        "equivariant-transformer",
+        num_layers=2,
+        embedding_dimension=32,
+        num_rbf=8,
+        num_heads=4,
+        trainable_rbf=True,
+    )
+    rng = np.random.default_rng(0)
+    sd = _torch_like_state_dict(args, rng)
+    params = import_state_dict(args, sd)
+
+    model = create_model(args)
+    mol = random_molecule(7, seed=2)
+    batch = pad_molecules([mol], num_atoms=8, num_mol=1)
+    # structural check: imported tree is accepted by apply (names + shapes)
+    y, _ = model.apply(params, batch)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # imported weights are live: perturbing any one changes the output
+    sd2 = dict(sd)
+    sd2["model.representation_model.attention_layers.1.o_proj.weight"] = (
+        sd["model.representation_model.attention_layers.1.o_proj.weight"] + 1.0
+    )
+    y2, _ = model.apply(import_state_dict(args, sd2), batch)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+    # matches the numpy oracle with the imported weights too
+    x_np, _ = numpy_et_forward(
+        params, np.asarray(mol["z"]), np.asarray(mol["pos"], np.float64), args
+    )
+    rep = model.module.representation
+    x_jax, _ = rep.apply(
+        {"params": params["params"]["representation"]},
+        batch.z, batch.pos, batch.batch, batch.atom_mask,
+    )
+    n = len(mol["z"])
+    np.testing.assert_allclose(np.asarray(x_jax)[:n], x_np, rtol=2e-4, atol=2e-5)

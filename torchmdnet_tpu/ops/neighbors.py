@@ -278,6 +278,33 @@ def neighbor_list(
             loop=loop,
             box=box,
         )
+    if strategy == "brute-pallas":
+        # fused Pallas streaming-compaction kernel (no PBC); semantics match
+        # brute exactly
+        from torchmdnet_tpu.ops.pallas.compaction import compact_neighbors_pallas
+
+        assert box is None, "brute-pallas does not support periodic boxes"
+        if batch is None:
+            batch = jnp.zeros((n,), dtype=jnp.int32)
+        if atom_mask is None:
+            atom_mask = jnp.ones((n,), dtype=bool)
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        idx, mask, n_neighbors = compact_neighbors_pallas(
+            pos,
+            batch,
+            atom_mask,
+            k=k,
+            cutoff_lower=cutoff_lower,
+            cutoff_upper=cutoff_upper,
+            interpret=interp,
+        )
+        if loop:
+            self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+            idx = jnp.concatenate([self_idx, idx], axis=1)
+            mask = jnp.concatenate([atom_mask[:, None], mask], axis=1)
+        return NeighborList(
+            idx=idx, mask=mask, n_neighbors=n_neighbors, self_loops=loop
+        )
     if strategy != "brute":
         raise ValueError(f"Unknown neighbor strategy: {strategy}")
     if batch is None:

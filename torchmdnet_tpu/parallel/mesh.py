@@ -19,6 +19,14 @@ def make_mesh(ndevices: int = -1, axis_name: str = "dp") -> Optional[Mesh]:
     devices = jax.devices()
     if ndevices is None or ndevices < 0:
         ndevices = len(devices)
+    if ndevices > len(devices):
+        import warnings
+
+        warnings.warn(
+            f"Requested {ndevices} devices but only {len(devices)} are "
+            f"available; a user expecting sharded execution may silently get "
+            f"a single device. Using {len(devices)}."
+        )
     ndevices = min(ndevices, len(devices))
     if ndevices <= 1:
         return None

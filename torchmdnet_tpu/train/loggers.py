@@ -6,31 +6,34 @@ Optional backends are gated on import availability (no hard deps).
 
 import csv
 import os
-from typing import Dict
+from typing import Dict, List
 
 
 class CSVLogger:
+    """Single-header CSV: when new metric columns appear (e.g. test metrics
+    on the first test epoch) the file is rewritten with the union header."""
+
     def __init__(self, log_dir):
         self.path = os.path.join(log_dir, "metrics.csv")
-        self._fieldnames = None
+        self._fieldnames: List[str] = []
+        self._rows: List[Dict[str, float]] = []
 
     def log_metrics(self, metrics: Dict[str, float], step: int = 0):
-        metrics = dict(metrics)
-        metrics["step"] = step
-        write_header = self._fieldnames is None or not os.path.exists(self.path)
-        if self._fieldnames is None:
-            self._fieldnames = sorted(metrics.keys())
-        # tolerate new keys by rewriting the header set on first occurrence
-        extra = set(metrics) - set(self._fieldnames)
-        if extra:
-            self._fieldnames = sorted(set(self._fieldnames) | extra)
-            write_header = True
-        mode = "a" if os.path.exists(self.path) and not write_header else "a"
-        with open(self.path, mode, newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
-            if write_header:
+        row = dict(metrics)
+        row["step"] = step
+        self._rows.append(row)
+        fields = sorted(set(self._fieldnames) | set(row.keys()))
+        rewrite = fields != self._fieldnames or not os.path.exists(self.path)
+        self._fieldnames = fields
+        if rewrite:
+            with open(self.path, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
                 writer.writeheader()
-            writer.writerow(metrics)
+                writer.writerows(self._rows)
+        else:
+            with open(self.path, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+                writer.writerow(row)
 
 
 class WandbLogger:
