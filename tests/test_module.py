@@ -132,3 +132,72 @@ def test_calculator_matches_direct_forward(tmp_path):
     calc2 = External((model, params), embeddings, output_transform="eV/A -> kcal/mol/A")
     e2, f2 = calc2.calculate(pos.copy())
     np.testing.assert_allclose(np.asarray(e2), np.asarray(energy) * 23.0609, rtol=1e-5)
+
+
+def test_synthetic_morse_learnability(tmp_path):
+    """Loss on an exactly-labeled physics dataset drops substantially within a
+    few epochs — end-to-end learnability of the training stack."""
+    from torchmdnet_tpu.data.datasets import SyntheticMorse
+
+    h = _hparams(
+        tmp_path,
+        num_epochs=6,
+        batch_size=16,
+        inference_batch_size=32,
+        lr=5e-3,
+        lr_warmup_steps=10,
+        train_size=180,
+        val_size=30,
+        test_size=30,
+        standardize=True,
+        y_weight=0.3,
+        neg_dy_weight=0.7,
+        embedding_dimension=32,
+        num_rbf=12,
+        max_num_neighbors=10,
+    )
+    ds = SyntheticMorse(num_samples=240, num_atoms=6, seed=0)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h, mean=data.mean, std=data.std)
+    trainer = Trainer(model, h)
+    trainer.fit(data)
+
+    import csv
+
+    with open(os.path.join(str(tmp_path), "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    first = float(rows[0]["train_total_mse_loss"])
+    last = float(rows[-1]["train_total_mse_loss"])
+    assert last < first * 0.35, f"no convergence: {first} -> {last}"
+
+
+def test_optimize_api(tmp_path):
+    """optimize() returns a donated-buffer evaluator matching Potential."""
+    from torchmdnet_tpu.optimize import optimize
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from utils import random_molecule
+
+    h = load_example_args("graph-network", remove_prior=True, derivative=True,
+                          num_layers=1, embedding_dimension=16, num_rbf=8)
+    model = create_model(h)
+    mol = random_molecule(8, seed=1)
+    batch = pad_molecules([mol], num_atoms=8, num_mol=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    y0, f0 = model.apply(params, batch)
+
+    opt = optimize(model, params, batch)
+    y1, f1 = opt(np.asarray(batch.pos).copy())
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7)
+
+
+def test_profiling_benchmark():
+    from torchmdnet_tpu.profiling import benchmark, benchmark_pipelined
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    r = benchmark(f, jnp.ones((64, 64)), warmup=1, iters=3)
+    assert r["mean_ms"] > 0 and r["min_ms"] <= r["mean_ms"]
+    r2 = benchmark_pipelined(f, jnp.ones((64, 64)), warmup=1, iters=3)
+    assert r2["mean_ms"] > 0

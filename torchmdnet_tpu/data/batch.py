@@ -48,6 +48,7 @@ def pad_molecules(
     num_atoms: int,
     num_mol: Optional[int] = None,
     extra_atom_keys: Sequence[str] = (),
+    float_dtype=np.float32,
 ) -> AtomicBatch:
     """Collate a list of per-molecule dicts into one padded AtomicBatch.
 
@@ -61,7 +62,7 @@ def pad_molecules(
     assert total <= num_atoms, f"batch needs {total} atom slots, capacity {num_atoms}"
 
     z = np.zeros(num_atoms, dtype=np.int32)
-    pos = np.zeros((num_atoms, 3), dtype=np.float32)
+    pos = np.zeros((num_atoms, 3), dtype=float_dtype)
     batch = np.full(num_atoms, num_mol, dtype=np.int32)
     atom_mask = np.zeros(num_atoms, dtype=bool)
     mol_mask = np.zeros(num_mol, dtype=bool)
@@ -70,12 +71,12 @@ def pad_molecules(
     has_f = all("neg_dy" in m and m["neg_dy"] is not None for m in mols) and mols
     has_q = all("q" in m and m["q"] is not None for m in mols) and mols
     has_s = all("s" in m and m["s"] is not None for m in mols) and mols
-    y = np.zeros((num_mol, 1), dtype=np.float32) if has_y else None
-    neg_dy = np.zeros((num_atoms, 3), dtype=np.float32) if has_f else None
-    q = np.zeros(num_mol, dtype=np.float32) if has_q else None
-    s = np.zeros(num_mol, dtype=np.float32) if has_s else None
+    y = np.zeros((num_mol, 1), dtype=float_dtype) if has_y else None
+    neg_dy = np.zeros((num_atoms, 3), dtype=float_dtype) if has_f else None
+    q = np.zeros(num_mol, dtype=float_dtype) if has_q else None
+    s = np.zeros(num_mol, dtype=float_dtype) if has_s else None
     extra = {
-        key: np.zeros(num_atoms, dtype=np.float32) for key in extra_atom_keys
+        key: np.zeros(num_atoms, dtype=float_dtype) for key in extra_atom_keys
     }
 
     offset = 0

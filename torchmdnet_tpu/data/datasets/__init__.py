@@ -25,6 +25,7 @@ from torchmdnet_tpu.data.datasets.md22 import MD22  # noqa: F401
 from torchmdnet_tpu.data.datasets.qm9 import QM9  # noqa: F401
 from torchmdnet_tpu.data.datasets.qm9q import QM9q  # noqa: F401
 from torchmdnet_tpu.data.datasets.spice import SPICE  # noqa: F401
+from torchmdnet_tpu.data.datasets.synthetic import SyntheticMorse  # noqa: F401
 
 __all__ = [
     "Ace",
@@ -45,5 +46,6 @@ __all__ = [
     "QM9q",
     "S66X8",
     "SPICE",
+    "SyntheticMorse",
     "Tripeptides",
 ]

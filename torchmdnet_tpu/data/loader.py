@@ -35,6 +35,7 @@ class PaddedLoader:
         drop_last: bool = False,
         use_native: bool = True,
         prefetch: int = 0,
+        float_dtype=np.float32,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +46,7 @@ class PaddedLoader:
         self.epoch = 0
         self.use_native = use_native
         self.prefetch = prefetch
+        self.float_dtype = np.dtype(float_dtype)
         if num_atoms_pad is None:
             sizes = np.asarray(dataset.sample_sizes())
             max_size = int(sizes.max()) if len(sizes) else 1
@@ -61,7 +63,11 @@ class PaddedLoader:
         for m in mols:
             if "pq" in m and "partial_charges" not in m:
                 m["partial_charges"] = m["pq"]
-        if self.use_native and set(self.extra_atom_keys) <= {"partial_charges"}:
+        if (
+            self.use_native
+            and self.float_dtype == np.float32
+            and set(self.extra_atom_keys) <= {"partial_charges"}
+        ):
             out = fast_pad_collate(mols, self.num_atoms_pad, self.batch_size)
             if out is not None:
                 extra = {}
@@ -89,6 +95,7 @@ class PaddedLoader:
             num_atoms=self.num_atoms_pad,
             num_mol=self.batch_size,
             extra_atom_keys=self.extra_atom_keys,
+            float_dtype=self.float_dtype,
         )
 
     def _batches(self) -> Iterator[AtomicBatch]:

@@ -85,6 +85,11 @@ class DataModule:
             else (h.get("inference_batch_size") or h["batch_size"])
         )
         extra = ("partial_charges",) if self._has_partial_charges() else ()
+        import numpy as _np
+
+        float_dtype = {16: _np.float32, 32: _np.float32, 64: _np.float64}[
+            h.get("precision", 32)
+        ]
         return PaddedLoader(
             dataset,
             batch_size=batch_size,
@@ -92,6 +97,8 @@ class DataModule:
             seed=h.get("seed", 1),
             num_atoms_pad=self.num_atoms_pad,
             extra_atom_keys=extra,
+            float_dtype=float_dtype,
+            prefetch=2 if h.get("num_workers", 0) else 0,
         )
 
     def _has_partial_charges(self):
