@@ -138,6 +138,9 @@ def main(argv=None):
             pass  # single string arg, e.g. a QM9 label
 
     import jax
+
+    if hparams.get("precision") == 64:
+        jax.config.update("jax_enable_x64", True)
     import yaml
 
     from torchmdnet_tpu.data.module import DataModule
