@@ -36,6 +36,32 @@ def test_nve_runs_and_energy_is_bounded():
     assert abs(e1 - e0) < 0.5 * max(1.0, abs(e0))
 
 
+def test_verlet_skin_matches_per_step_rebuild():
+    # With a generous skin and small steps, the skin-reused trajectory must
+    # match the rebuild-every-step trajectory (same math, same neighbor sets).
+    sim_ref = _sim(timestep_fs=0.2)
+    sim_skin = _sim(timestep_fs=0.2, neighbor_skin=1.5, rebuild_every=5)
+    sim_ref.set_velocities_from_temperature(50.0)
+    sim_skin.set_velocities_from_temperature(50.0)
+    sim_ref.step(10)
+    sim_skin.step(10)
+    np.testing.assert_allclose(
+        np.asarray(sim_skin.state.pos),
+        np.asarray(sim_ref.state.pos),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    assert not bool(sim_skin.state.stale)
+
+
+def test_verlet_skin_staleness_detected():
+    # A tiny skin with violent motion must trip the staleness flag.
+    sim = _sim(timestep_fs=0.2, neighbor_skin=1e-3, rebuild_every=10)
+    sim.set_velocities_from_temperature(5000.0)
+    sim.step(10)
+    assert bool(sim.state.stale)
+
+
 def test_langevin_thermostat_moves_atoms():
     sim = _sim(timestep_fs=0.2, friction_per_fs=0.1, temperature_K=300.0)
     p0 = np.asarray(sim.state.pos).copy()

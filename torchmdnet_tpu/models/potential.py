@@ -116,7 +116,14 @@ class Potential:
         grads, y = jax.grad(energy_sum, has_aux=True)(batch.pos)
         return y, -grads
 
-    def neighbors(self, batch: AtomicBatch, box=None, strategy: str = "auto"):
+    def neighbors(
+        self,
+        batch: AtomicBatch,
+        box=None,
+        strategy: str = "auto",
+        skin: float = 0.0,
+        k: Optional[int] = None,
+    ):
         """Build the representation's neighbor list as a standalone (jitted)
         step.
 
@@ -125,18 +132,40 @@ class Potential:
         MD structure, and required for very large systems.  Distances are
         recomputed from positions inside the model, so autodiff through
         positions is unaffected.
+
+        Args:
+            skin: Verlet-skin padding (Angstrom). The list is built with
+                ``cutoff_upper + skin``; pass the result through
+                ``NeighborList.refine(pos, lo, hi, box)`` at evaluation time
+                and it stays exact while no atom moves more than skin/2.
+            k: per-atom capacity override. Default: the model's
+                max_num_neighbors, scaled by the skin volume ratio when
+                skin > 0 (rounded up to a multiple of 8).
         """
         from torchmdnet_tpu.ops.neighbors import neighbor_list
 
         a = self.args
         loop = a["model"] != "graph-network"
+        cutoff_upper = a.get("cutoff_upper", 5.0)
+        if k is None:
+            k = a["max_num_neighbors"]
+            if skin > 0.0:
+                import math
+
+                scale = ((cutoff_upper + skin) / cutoff_upper) ** 3
+                k = int(math.ceil(k * scale / 8.0)) * 8
+        # With a lower cutoff, atoms below it may drift INTO the window while
+        # the skin list is frozen — pad the lower bound down by skin too.
+        cutoff_lower = a.get("cutoff_lower", 0.0)
+        if skin > 0.0:
+            cutoff_lower = max(0.0, cutoff_lower - skin)
         return neighbor_list(
             batch.pos,
             batch.batch,
             batch.atom_mask,
-            k=a["max_num_neighbors"],
-            cutoff_lower=a.get("cutoff_lower", 0.0),
-            cutoff_upper=a.get("cutoff_upper", 5.0),
+            k=k,
+            cutoff_lower=cutoff_lower,
+            cutoff_upper=cutoff_upper + skin,
             loop=loop,
             box=box,
             strategy=strategy,

@@ -89,6 +89,49 @@ class NeighborList:
         k_real = self.k - (1 if self.self_loops else 0)
         return jnp.any(self.n_neighbors > k_real)
 
+    def refine(
+        self,
+        pos,
+        cutoff_lower: float,
+        cutoff_upper: float,
+        box: Optional[jnp.ndarray] = None,
+    ) -> "NeighborList":
+        """Re-apply the true cutoff window to a skin-padded list.
+
+        Verlet-skin reuse: build the list once with ``cutoff_upper + skin``,
+        then as atoms move (< skin/2 each) the true neighbor set stays a
+        subset of the skin set; masking slots whose *current* distance falls
+        outside [cutoff_lower, cutoff_upper) reproduces a fresh build exactly
+        (up to slot order, which every masked reduction is invariant to).
+        The self-loop column (if present) is preserved unconditionally, as in
+        a fresh ``loop=True`` build.
+        """
+        pj = pos[self.idx]
+        dx = pj[..., 0] - pos[:, None, 0]
+        dy = pj[..., 1] - pos[:, None, 1]
+        dz = pj[..., 2] - pos[:, None, 2]
+        if box is not None:
+            b = box.astype(pos.dtype)
+            s = jnp.round(dz / b[2, 2])
+            dx, dy, dz = dx - s * b[2, 0], dy - s * b[2, 1], dz - s * b[2, 2]
+            s = jnp.round(dy / b[1, 1])
+            dx, dy = dx - s * b[1, 0], dy - s * b[1, 1]
+            s = jnp.round(dx / b[0, 0])
+            dx = dx - s * b[0, 0]
+        d2 = dx * dx + dy * dy + dz * dz
+        window = (d2 < cutoff_upper * cutoff_upper) & (
+            d2 >= cutoff_lower * cutoff_lower
+        )
+        if self.self_loops:
+            window = window.at[:, 0].set(True)
+        return NeighborList(
+            idx=self.idx,
+            mask=self.mask & window,
+            n_neighbors=self.n_neighbors,
+            self_loops=self.self_loops,
+            cell_overflow=self.cell_overflow,
+        )
+
 
 def minimum_image(delta, box):
     """Apply minimum-image convention to displacement vectors.
