@@ -9,6 +9,16 @@ count (real DHFR coordinates are not redistributable here; density is matched
 at ~0.094 atoms/A^3 so neighbor counts are comparable), runs the same model
 configuration on the available accelerator, and reports ms/iteration.
 
+Timing methodology (IMPORTANT): the TPU here sits behind a high-latency
+tunnel whose runtime is lazy — ``block_until_ready`` does not force
+execution, and a host fetch costs ~35-70 ms RTT.  Per-call wall timing is
+therefore useless at ms granularity.  The harness instead runs K forward
+iterations inside ONE jitted ``lax.scan`` whose carry chains each iteration's
+output into the next input (so no iteration can be elided), fetches one
+scalar, and differences two values of K to cancel dispatch+fetch overhead.
+This measures pure steady-state device time per iteration — the same thing
+CUDA events measure for the reference.
+
 Prints ONE JSON line:
   {"metric": "gn_forward_dhfr2489_ms", "value": <ms>, "unit": "ms/it",
    "vs_baseline": <ref_ms / our_ms>}
@@ -16,6 +26,7 @@ Prints ONE JSON line:
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -40,8 +51,40 @@ def synthetic_protein(n_atoms: int, seed: int = 0):
     return z.astype(np.int32), pos
 
 
+def device_ms_per_iter(step_fn, init_carry, k_lo: int = 2, k_hi: int = 22, reps: int = 3):
+    """Scan-differenced device time per iteration of ``step_fn``.
+
+    step_fn(carry, eps) -> carry must chain a data dependency through the
+    carry (multiply by the runtime-zero ``eps`` so XLA cannot fold it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("k",))
+    def loop(carry, eps, k):
+        carry, _ = jax.lax.scan(
+            lambda c, _: (step_fn(c, eps), None), carry, None, length=k
+        )
+        return jax.tree_util.tree_leaves(carry)[0].ravel()[0]
+
+    eps = jnp.float32(0.0)
+    float(np.asarray(loop(init_carry, eps, k_lo)))  # compile both
+    float(np.asarray(loop(init_carry, eps, k_hi)))
+
+    def best(k):
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(init_carry, eps, k)))
+            vals.append(time.perf_counter() - t0)
+        return min(vals)
+
+    return (best(k_hi) - best(k_lo)) / (k_hi - k_lo) * 1e3
+
+
 def main():
     import jax
+    import jax.numpy as jnp
 
     from torchmdnet_tpu.data.batch import pad_molecules
     from torchmdnet_tpu.models.potential import create_model
@@ -75,23 +118,13 @@ def main():
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
 
-    # Small systems: one fused program (neighbor search + network).  Large
-    # systems (see model.neighbors) split the neighbor build into its own
-    # cached executable — the natural MD-loop structure.
-    @jax.jit
-    def forward(params, pos):
-        return model.energy(params, batch.replace(pos=pos))
+    def step(carry, eps):
+        pos, acc = carry
+        y = model.energy(params, batch.replace(pos=pos))
+        s = y.sum()
+        return (pos + eps * s, acc + s)
 
-    # compile + warmup
-    y = forward(params, batch.pos)
-    y.block_until_ready()
-
-    n_iters = 50
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        y = forward(params, batch.pos)
-    y.block_until_ready()
-    elapsed_ms = (time.perf_counter() - start) / n_iters * 1e3
+    elapsed_ms = device_ms_per_iter(step, (batch.pos, jnp.float32(0.0)))
 
     print(
         json.dumps(

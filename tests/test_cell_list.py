@@ -65,6 +65,30 @@ def test_cell_overflow_flag():
     assert bool(nbl.cell_overflow)
 
 
+@pytest.mark.parametrize("box", [None, 7.0])
+def test_cell_hash_fallback_matches_brute(box):
+    rng = np.random.default_rng(11)
+    n = 80
+    pos = jnp.asarray(9.0 * rng.standard_normal((n, 3)), jnp.float32)
+    batch = jnp.asarray(np.sort(rng.integers(0, 2, n)), jnp.int32)
+    boxm = None if box is None else jnp.diag(jnp.full((3,), box, jnp.float32))
+    b = neighbor_list(pos, batch, k=n, cutoff_upper=2.5, box=boxm, strategy="brute")
+    h = neighbor_list_cell(
+        pos, batch, k=n, cutoff_upper=2.5, box=boxm, hash_strategy=True
+    )
+    np.testing.assert_array_equal(np.asarray(b.idx), np.asarray(h.idx))
+    np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(h.mask))
+    assert not bool(h.cell_overflow)
+
+
+def test_cell_max_cells_overflow_flag():
+    # more occupied cells than max_cells -> overflow reported, not silent
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(100.0 * rng.standard_normal((64, 3)), jnp.float32)
+    nbl = neighbor_list_cell(pos, k=8, cutoff_upper=1.0, max_cells=8)
+    assert bool(nbl.cell_overflow)
+
+
 def test_cell_lower_cutoff():
     rng = np.random.default_rng(3)
     pos = jnp.asarray(4.0 * rng.standard_normal((50, 3)), jnp.float32)

@@ -2,18 +2,30 @@
 
 TPU-native re-design of the reference's CUDA cell strategy
 (torchmdnet/neighbors/neighbors_cuda_cell.cuh: label -> sort-by-cell ->
-cell-offsets -> 27-cell traversal), with two changes forced by XLA's static
-shapes and determinism goals:
+cell-offsets -> 27-cell traversal).  Two implementations:
 
-1. The cell grid is a **hash table** with a static number of buckets, so the
-   kernel never depends on the (runtime) spatial extent of the system.  Cell
-   coordinates hash into ``num_buckets`` slots of static capacity
-   ``cell_capacity``; hash collisions only add candidates that the distance
-   filter rejects (correctness is unaffected), capacity overflow is detected
-   and reported.
-2. Compaction is sort-based (top-k of candidate ids), not atomicAdd slot
-   allocation (common.cuh:106-116), so results are deterministic and
-   identical to the brute strategy's (ascending neighbor index per atom).
+1. ``neighbor_list_cell`` (default, per-CELL tiles): atoms are binned into a
+   dense dynamic grid, sorted by cell key, and given compact cell ranks
+   (0..C-1) with a single scan — no atomics, fully deterministic.  A
+   direct-mapped table (grid-cell -> rank) makes neighbor-cell lookup ONE
+   gather.  Candidates are then enumerated **per cell, not per atom**: each
+   cell gathers its 27 neighbor cells' atoms once, and all <=M atoms of the
+   cell share that tile.  This cuts the gathered candidate rows by ~the mean
+   cell occupancy (~8-12x for protein-density systems) versus the per-atom
+   formulation — gathers are row-count-bound on TPU, so this is the dominant
+   cost at 30k atoms.  Static shapes: capacity per cell ``cell_capacity``,
+   cell count ``max_cells``, grid size ``max_dense_cells``; every overflow is
+   detected and reported (reference check_errors, utils.py:251-257).
+
+2. ``neighbor_list_cell_hash`` (fallback): the round-1 hash-bucketed variant
+   with no bound on the spatial extent (hash collisions only add candidates
+   the distance filter rejects).  Use when the system's extent exceeds
+   ``max_dense_cells`` grid cells.
+
+Compaction is sort-based (top-k of candidate ids), deterministic and
+identical to the brute strategy's (ascending neighbor index per atom); the
+CUDA reference used atomicAdd slot allocation and was order-nondeterministic
+(common.cuh:106-116).
 
 PBC: rectangular boxes only (the reference cell strategy has the same
 restriction, neighbors_cuda_cell.cuh:14-28); positions are wrapped into the
@@ -28,7 +40,7 @@ import jax.numpy as jnp
 
 from torchmdnet_tpu.ops.neighbors import NeighborList
 
-# Standard spatial-hashing primes (Teschner et al. 2003).
+# Standard spatial-hashing primes (Teschner et al. 2003) — hash fallback only.
 _P1, _P2, _P3, _P4 = 73856093, 19349663, 83492791, 126271
 
 
@@ -40,6 +52,227 @@ def _hash_cells(cx, cy, cz, mol, num_buckets):
         ^ mol.astype(jnp.int32) * _P4
     )
     return jnp.abs(h) & (num_buckets - 1)
+
+
+def _compact_topk(key, n, k, loop, atom_mask):
+    """Shared final compaction: per-row ascending top-k of candidate ids.
+
+    key: (N, C) int32, candidate id where valid else n.
+    """
+    k_eff = min(k, key.shape[1])
+    neg_top, _ = jax.lax.top_k(-key, k_eff)
+    idx = -neg_top
+    mask = idx < n
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, k_eff), 0)
+    idx = jnp.where(mask, idx, rows)
+    if k_eff < k:
+        pad = k - k_eff
+        idx = jnp.concatenate(
+            [idx, jnp.repeat(jnp.arange(n, dtype=idx.dtype)[:, None], pad, axis=1)],
+            axis=1,
+        )
+        mask = jnp.concatenate([mask, jnp.zeros((n, pad), bool)], axis=1)
+    if loop:
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        idx = jnp.concatenate([self_idx, idx], axis=1)
+        mask = jnp.concatenate([atom_mask[:, None], mask], axis=1)
+    return idx.astype(jnp.int32), mask
+
+
+def _min_image_components(dx, dy, dz, box):
+    """Sequential triclinic round-subtract in c, b, a order (rect: per-axis)."""
+    b = box
+    s = jnp.round(dz / b[2, 2])
+    dx, dy, dz = dx - s * b[2, 0], dy - s * b[2, 1], dz - s * b[2, 2]
+    s = jnp.round(dy / b[1, 1])
+    dx, dy = dx - s * b[1, 0], dy - s * b[1, 1]
+    s = jnp.round(dx / b[0, 0])
+    dx = dx - s * b[0, 0]
+    return dx, dy, dz
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "cutoff_lower",
+        "cutoff_upper",
+        "loop",
+        "use_box",
+        "cell_capacity",
+        "max_cells",
+        "max_dense_cells",
+    ),
+)
+def _neighbor_list_cell_tiles(
+    pos,
+    batch,
+    atom_mask,
+    box,
+    *,
+    k: int,
+    cutoff_lower: float,
+    cutoff_upper: float,
+    loop: bool,
+    use_box: bool,
+    cell_capacity: int,
+    max_cells: int,
+    max_dense_cells: int,
+):
+    n = pos.shape[0]
+    f32pos = (
+        pos.astype(jnp.float32)
+        if pos.dtype in (jnp.float16, jnp.bfloat16)
+        else pos
+    )
+    m = cell_capacity
+    c_max = max_cells
+    dense = max_dense_cells
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    # --- bin atoms into the dynamic grid ------------------------------------
+    if use_box:
+        diag = jnp.diagonal(box).astype(f32pos.dtype)
+        wrapped = f32pos - jnp.floor(f32pos / diag) * diag
+        ext = jnp.maximum(jnp.floor(diag / cutoff_upper).astype(jnp.int32), 1)
+        cc = jnp.floor(wrapped / cutoff_upper).astype(jnp.int32)
+        cc = jnp.clip(cc, 0, ext - 1)  # guard atoms exactly at the edge
+    else:
+        origin = jnp.min(
+            jnp.where(atom_mask[:, None], f32pos, jnp.inf), axis=0, keepdims=True
+        )
+        cc = jnp.floor((f32pos - origin) / cutoff_upper).astype(jnp.int32)
+        cc = jnp.where(atom_mask[:, None], cc, 0)
+        ext = jnp.max(cc, axis=0) + 1  # (3,)
+
+    # Grid-capacity check in float (exact far past any usable `dense`); an
+    # int32 product could silently wrap for pathological extents.
+    total_f = ext[0].astype(jnp.float32) * ext[1] * ext[2]
+    grid_overflow = total_f > jnp.float32(dense)
+
+    # dense key = (cx*ey + cy)*ez + cz, clamped in-bounds (results are
+    # discarded under grid_overflow anyway — the host raises).
+    def dense_key(c0, c1, c2):
+        key = (c0 * ext[1] + c1) * ext[2] + c2
+        return jnp.clip(key, 0, dense - 1)
+
+    key = dense_key(cc[:, 0], cc[:, 1], cc[:, 2])
+    key = jnp.where(atom_mask, key, dense)  # padding atoms sort last
+
+    # --- sort by cell; compact cell ranks + in-cell slots with scans --------
+    order = jnp.argsort(key).astype(jnp.int32)  # stable: cell asc, atom asc
+    skey = key[order]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    first_idx = jax.lax.cummax(jnp.where(is_first, iota_n, -1))
+    slot = iota_n - first_idx
+    rank = jnp.cumsum(is_first).astype(jnp.int32) - 1
+    valid_atom = skey < dense
+    c_used = jnp.sum(is_first & valid_atom)
+    cap_overflow = jnp.any((slot >= m) & valid_atom)
+    rank_overflow = c_used > c_max
+    overflow = grid_overflow | cap_overflow | rank_overflow
+
+    # --- cell table (C, M): atom ids, sentinel n ----------------------------
+    ok = valid_atom & (rank < c_max) & (slot < m)
+    tpos = jnp.where(ok, rank * m + slot, c_max * m)
+    table = jnp.full((c_max * m + 1,), n, dtype=jnp.int32)
+    table = table.at[tpos].set(order, mode="drop")
+    atom_tile_row = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(ok, rank * m + slot, c_max * m)
+    )
+    table = table[: c_max * m].reshape(c_max, m)
+
+    # per-cell coords + direct-mapped (grid cell -> rank) lookup table
+    rpos = jnp.where(is_first & ok, rank, c_max)
+    ccell = (
+        jnp.full((c_max + 1, 3), -1, jnp.int32)
+        .at[rpos]
+        .set(cc[order], mode="drop")[:c_max]
+    )
+    dense_map = jnp.full((dense + 1,), c_max, jnp.int32)
+    dense_map = dense_map.at[jnp.where(is_first & ok, skey, dense)].set(
+        rpos, mode="drop"
+    )
+
+    # --- 27 neighbor cells per CELL (one gather) -----------------------------
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(27, 3).astype(jnp.int32)
+    ncc = ccell[:, None, :] + offs[None, :, :]  # (C, 27, 3)
+    if use_box:
+        ncc = jnp.mod(ncc, ext[None, None, :])
+        in_grid = jnp.ones(ncc.shape[:2], bool)
+    else:
+        in_grid = jnp.all((ncc >= 0) & (ncc < ext[None, None, :]), axis=-1)
+    in_grid = in_grid & (ccell[:, None, 0] >= 0)  # unused cells -> all miss
+    nkey = jnp.where(
+        in_grid, dense_key(ncc[..., 0], ncc[..., 1], ncc[..., 2]), dense
+    )
+    nrank = dense_map[nkey]  # (C, 27), c_max == miss
+    # dedupe wrapped duplicates (boxes with <3 cells per dim)
+    nrank = jnp.sort(nrank, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((c_max, 1), bool), nrank[:, 1:] == nrank[:, :-1]], axis=1
+    )
+    nrank = jnp.where(dup, c_max, nrank)
+
+    # --- candidate tiles: (C, 27M) atom ids, shared by the cell's atoms -----
+    table_p = jnp.concatenate([table, jnp.full((1, m), n, jnp.int32)], axis=0)
+    cand = table_p[nrank].reshape(c_max, 27 * m)  # (C, 27M)
+
+    # Pack per-atom fields into ONE gathered row (PERF: row gathers are
+    # row-count-bound; scalar gathers cost ~4x more per field).
+    packed = jnp.concatenate(
+        [
+            f32pos,
+            batch.astype(f32pos.dtype)[:, None],
+            atom_mask.astype(f32pos.dtype)[:, None],
+        ],
+        axis=1,
+    )  # (N, 5)
+    packed = jnp.concatenate(
+        [packed, jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype)], axis=0
+    )
+    pj = packed[cand]  # (C, 27M, 5)   <- the big gather, amortized per cell
+    pi = packed[table]  # (C, M, 5)
+
+    # --- distance filter on the (C, M, 27M) tile -----------------------------
+    dx = pj[:, None, :, 0] - pi[:, :, None, 0]
+    dy = pj[:, None, :, 1] - pi[:, :, None, 1]
+    dz = pj[:, None, :, 2] - pi[:, :, None, 2]
+    if use_box:
+        dx, dy, dz = _min_image_components(dx, dy, dz, box.astype(f32pos.dtype))
+    d2 = dx * dx + dy * dy + dz * dz
+    valid = (
+        (cand[:, None, :] < n)
+        & (pj[:, None, :, 4] > 0)
+        & (pj[:, None, :, 3] == pi[:, :, None, 3])
+        & (cand[:, None, :] != table[:, :, None])
+        & (pi[:, :, None, 4] > 0)
+        & (d2 < cutoff_upper * cutoff_upper)
+        & (d2 >= cutoff_lower * cutoff_lower)
+    )
+    n_nb_tile = jnp.sum(valid, axis=2).astype(jnp.int32)  # (C, M)
+    key_tile = jnp.where(valid, cand[:, None, :], n)  # (C, M, 27M)
+
+    # --- back to per-atom rows, then top-k compaction ------------------------
+    key_rows = jnp.concatenate(
+        [
+            key_tile.reshape(c_max * m, 27 * m),
+            jnp.full((1, 27 * m), n, jnp.int32),
+        ],
+        axis=0,
+    )
+    akeys = key_rows[atom_tile_row]  # (N, 27M)
+    n_neighbors = jnp.concatenate(
+        [n_nb_tile.reshape(-1), jnp.zeros((1,), jnp.int32)]
+    )[atom_tile_row]
+
+    idx, mask = _compact_topk(akeys, n, k, loop, atom_mask)
+    return idx, mask, n_neighbors, overflow
 
 
 @partial(
@@ -54,7 +287,7 @@ def _hash_cells(cx, cy, cz, mol, num_buckets):
         "num_buckets",
     ),
 )
-def _neighbor_list_cell(
+def _neighbor_list_cell_hash(
     pos,
     batch,
     atom_mask,
@@ -147,13 +380,7 @@ def _neighbor_list_cell(
     dy = pj[..., 1] - f32pos[:, None, 1]
     dz = pj[..., 2] - f32pos[:, None, 2]
     if use_box:
-        b = box.astype(f32pos.dtype)
-        s = jnp.round(dz / b[2, 2])
-        dx, dy, dz = dx - s * b[2, 0], dy - s * b[2, 1], dz - s * b[2, 2]
-        s = jnp.round(dy / b[1, 1])
-        dx, dy = dx - s * b[1, 0], dy - s * b[1, 1]
-        s = jnp.round(dx / b[0, 0])
-        dx = dx - s * b[0, 0]
+        dx, dy, dz = _min_image_components(dx, dy, dz, box.astype(f32pos.dtype))
     d2 = dx * dx + dy * dy + dz * dz
     valid = (
         (cand < n)
@@ -166,28 +393,9 @@ def _neighbor_list_cell(
     )
     n_neighbors = jnp.sum(valid, axis=1).astype(jnp.int32)
 
-    # --- compact to (N, k), ascending neighbor id (matches brute) -----------
     key = jnp.where(valid, cand, n)
-    k_eff = min(k, key.shape[1])
-    neg_top, _ = jax.lax.top_k(-key, k_eff)
-    idx = -neg_top
-    mask = idx < n
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, k_eff), 0)
-    idx = jnp.where(mask, idx, rows)
-    if k_eff < k:
-        pad = k - k_eff
-        idx = jnp.concatenate(
-            [idx, jnp.repeat(jnp.arange(n, dtype=idx.dtype)[:, None], pad, axis=1)],
-            axis=1,
-        )
-        mask = jnp.concatenate([mask, jnp.zeros((n, pad), bool)], axis=1)
-
-    if loop:
-        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
-        idx = jnp.concatenate([self_idx, idx], axis=1)
-        mask = jnp.concatenate([atom_mask[:, None], mask], axis=1)
-
-    return idx.astype(jnp.int32), mask, n_neighbors, bucket_overflow
+    idx, mask = _compact_topk(key, n, k, loop, atom_mask)
+    return idx, mask, n_neighbors, bucket_overflow
 
 
 def neighbor_list_cell(
@@ -201,40 +409,68 @@ def neighbor_list_cell(
     loop: bool = False,
     box: Optional[jnp.ndarray] = None,
     cell_capacity: int = 32,
+    max_cells: Optional[int] = None,
+    max_dense_cells: int = 1 << 18,
+    hash_strategy: bool = False,
     num_buckets: Optional[int] = None,
 ) -> NeighborList:
     """Cell-list neighbor search with the same semantics as neighbor_list.
 
     Args:
-        cell_capacity: static max atoms per hash bucket; overflow is reported
+        cell_capacity: static max atoms per grid cell; overflow is reported
             via ``NeighborList.cell_overflow`` (check on host like the
             reference's check_errors, utils.py:251-257).
-        num_buckets: static hash-table size (power of two); default the
-            smallest power of two >= 2N.
+        max_cells: static max *occupied* cells (default max(256, N//4),
+            rounded up to a multiple of 8).  The per-cell candidate-gather
+            cost scales with this, so tighten it for known-dense systems.
+        max_dense_cells: static size of the direct-mapped grid->rank table;
+            the system's bounding grid (prod of cells per dim) must fit.
+        hash_strategy: use the extent-unbounded hash-bucket fallback.
+        num_buckets: hash fallback only; static table size (power of two),
+            default the smallest power of two >= 4N.
     """
     n = pos.shape[0]
     if batch is None:
         batch = jnp.zeros((n,), dtype=jnp.int32)
     if atom_mask is None:
         atom_mask = jnp.ones((n,), dtype=bool)
-    if num_buckets is None:
-        num_buckets = 1 << max(4, (4 * n - 1).bit_length())
     use_box = box is not None
     if box is None:
         box = jnp.eye(3, dtype=pos.dtype)
-    idx, mask, n_neighbors, overflow = _neighbor_list_cell(
-        pos,
-        batch,
-        atom_mask,
-        box,
-        k=int(k),
-        cutoff_lower=float(cutoff_lower),
-        cutoff_upper=float(cutoff_upper),
-        loop=bool(loop),
-        use_box=use_box,
-        cell_capacity=int(cell_capacity),
-        num_buckets=int(num_buckets),
-    )
+    if hash_strategy:
+        if num_buckets is None:
+            num_buckets = 1 << max(4, (4 * n - 1).bit_length())
+        idx, mask, n_neighbors, overflow = _neighbor_list_cell_hash(
+            pos,
+            batch,
+            atom_mask,
+            box,
+            k=int(k),
+            cutoff_lower=float(cutoff_lower),
+            cutoff_upper=float(cutoff_upper),
+            loop=bool(loop),
+            use_box=use_box,
+            cell_capacity=int(cell_capacity),
+            num_buckets=int(num_buckets),
+        )
+    else:
+        if max_cells is None:
+            max_cells = max(256, -(-n // 4))
+        max_cells = -(-int(max_cells) // 8) * 8
+        idx, mask, n_neighbors, overflow = _neighbor_list_cell_tiles(
+            pos,
+            batch,
+            atom_mask,
+            box,
+            k=int(k),
+            cutoff_lower=float(cutoff_lower),
+            cutoff_upper=float(cutoff_upper),
+            loop=bool(loop),
+            use_box=use_box,
+            cell_capacity=int(cell_capacity),
+            max_cells=int(max_cells),
+            max_dense_cells=int(max_dense_cells),
+        )
     return NeighborList(
         idx=idx,
         mask=mask,

@@ -4,6 +4,14 @@ The reference relied on NVTX ranges + CUDA events (benchmarks/inference.py:72,
 benchmarks/neighbors.py:89-107); the TPU-native equivalents are
 jax.profiler traces (viewable in XProf/Perfetto/TensorBoard) and
 jax.named_scope annotations, wrapped here with a timing harness.
+
+TIMING CAVEAT (important): on some remote/experimental platforms (the 'axon'
+TPU tunnel used here), ``jax.block_until_ready`` does NOT force computation —
+execution is lazy until array contents are actually fetched to the host.
+Timing with block_until_ready alone can under-report by 100x.  Every harness
+in this module therefore forces materialization by fetching a scalar from
+each output, and the pipelined harness fetches every queued output after the
+loop so no iteration can be skipped by a lazy engine.
 """
 
 import contextlib
@@ -11,6 +19,7 @@ import time
 from typing import Callable, Dict
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -18,7 +27,7 @@ def trace(log_dir: str):
     """Capture a device trace into ``log_dir`` (open with XProf/TensorBoard).
 
     >>> with trace("/tmp/jax-trace"):
-    ...     model.apply(params, batch)[0].block_until_ready()
+    ...     force(model.apply(params, batch))
     """
     jax.profiler.start_trace(log_dir)
     try:
@@ -30,36 +39,56 @@ def trace(log_dir: str):
 scope = jax.named_scope  # re-export: annotate regions inside jitted code
 
 
-def benchmark(fn: Callable, *args, warmup: int = 3, iters: int = 30) -> Dict[str, float]:
-    """Steady-state latency of a jitted callable (compile excluded).
+def force(out):
+    """Force materialization of every array in ``out`` (lazy-platform-safe).
 
-    Returns mean/min milliseconds per call; mirrors the reference's
-    torch.utils.benchmark.Timer usage (benchmarks/neighbors.py:89-107).
+    Fetches one element of each leaf to the host, which requires the backing
+    computation to actually run; returns ``out`` unchanged.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[0])
+    return out
+
+
+def benchmark(fn: Callable, *args, warmup: int = 3, iters: int = 30) -> Dict[str, float]:
+    """Per-call latency of a jitted callable (compile excluded).
+
+    Each iteration dispatches AND fetches, so the number includes one
+    host<->device round trip — the honest per-call latency an interactive
+    caller (e.g. an MD engine calling the calculator once per step) sees.
+    Mirrors the reference's torch.utils.benchmark.Timer usage
+    (benchmarks/neighbors.py:89-107).
     """
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        force(fn(*args))
         times.append(time.perf_counter() - t0)
     return {
         "mean_ms": sum(times) / len(times) * 1e3,
         "min_ms": min(times) * 1e3,
+        "median_ms": float(np.median(times) * 1e3),
         "iters": iters,
     }
 
 
 def benchmark_pipelined(fn: Callable, *args, warmup: int = 3, iters: int = 30):
-    """Throughput timing: enqueue all iterations, block once (measures the
-    device-side rate the MD/training loop actually achieves)."""
+    """Throughput timing: enqueue all iterations, then force every output.
+
+    Measures the device-side rate a dispatch-pipelined loop achieves; all
+    outputs are fetched after the queue is built so a lazy engine cannot
+    dead-code-eliminate any iteration (fetch round trips amortize across
+    the queue).
+    """
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    for out in outs:
+        force(out)
     return {"mean_ms": (time.perf_counter() - t0) / iters * 1e3, "iters": iters}
