@@ -420,9 +420,12 @@ def neighbor_list_cell(
         cell_capacity: static max atoms per grid cell; overflow is reported
             via ``NeighborList.cell_overflow`` (check on host like the
             reference's check_errors, utils.py:251-257).
-        max_cells: static max *occupied* cells (default max(256, N//4),
-            rounded up to a multiple of 8).  The per-cell candidate-gather
-            cost scales with this, so tighten it for known-dense systems.
+        max_cells: static max *occupied* cells (default max(256, N//8),
+            rounded up to a multiple of 8 — i.e. assumes mean occupancy >= 8,
+            true for condensed-phase systems where the cell strategy wins;
+            sparse systems should raise it or use brute/hash).  The per-cell
+            candidate-gather cost scales with this: at 30k atoms, N//8 is
+            ~17 ms vs ~37 ms at N//4 (PERF.md).
         max_dense_cells: static size of the direct-mapped grid->rank table;
             the system's bounding grid (prod of cells per dim) must fit.
         hash_strategy: use the extent-unbounded hash-bucket fallback.
@@ -455,7 +458,7 @@ def neighbor_list_cell(
         )
     else:
         if max_cells is None:
-            max_cells = max(256, -(-n // 4))
+            max_cells = max(256, -(-n // 8))
         max_cells = -(-int(max_cells) // 8) * 8
         idx, mask, n_neighbors, overflow = _neighbor_list_cell_tiles(
             pos,

@@ -85,7 +85,7 @@ class Trainer:
             )
         )
         self.optimizer = optax.chain(*tx)
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # --- core steps -------------------------------------------------------
@@ -116,7 +116,16 @@ class Trainer:
             out["neg_dy"] = (neg_dy, batch.neg_dy, batch.atom_mask)
         return out
 
-    def _train_step_impl(self, params, opt_state, batch, ema_y, ema_f):
+    def _train_step_impl(self, params, opt_state, acc, batch, ema_y, ema_f):
+        """One optimizer step.
+
+        ``acc`` is a (3,) on-device accumulator of (total, loss_y, loss_f)
+        epoch sums and ``ema_y``/``ema_f`` are on-device scalars threaded from
+        the previous step: NOTHING here is fetched to the host per step.  On
+        the tunnel platform a host fetch costs 35-70 ms (PERF.md), so per-step
+        `float(loss)` readbacks would dominate training wall-clock; instead
+        the epoch loop fetches the accumulator once per epoch.
+        """
         h = self.h
         alpha_y = h.get("ema_alpha_y", 1.0)
         alpha_f = h.get("ema_alpha_neg_dy", 1.0)
@@ -138,7 +147,9 @@ class Trainer:
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, total, aux
+        loss_y, loss_f, _, _ = aux
+        acc = acc + jnp.stack([total, loss_y, loss_f])
+        return params, opt_state, acc, loss_y, loss_f
 
     def _eval_step_impl(self, params, batch):
         preds = self._forward_losses(params, batch)
@@ -226,28 +237,34 @@ class Trainer:
         return state
 
     def _run_train_epoch(self, state: TrainerState, loader):
+        """One epoch of dispatch-pipelined steps: no host fetch inside the
+        loop — losses accumulate on device and the EMA scalars are threaded
+        step-to-step as device arrays (see _train_step_impl)."""
         h = self.h
-        totals, ys, fs, n = 0.0, 0.0, 0.0, 0
+        acc = jnp.zeros((3,), jnp.float32)
+        n = 0
+        ema_y = jnp.asarray(state.ema.get("train_y", 0.0), jnp.float32)
+        ema_f = jnp.asarray(state.ema.get("train_neg_dy", 0.0), jnp.float32)
         for batch in loader:
             batch = self._shard_batch(batch)
             lr = self._current_lr(state)
             state.opt_state = self._set_lr(state.opt_state, lr)
-            ema_y = state.ema.get("train_y", 0.0)
-            ema_f = state.ema.get("train_neg_dy", 0.0)
-            state.params, state.opt_state, total, aux = self._train_step(
-                state.params, state.opt_state, batch, jnp.asarray(ema_y), jnp.asarray(ema_f)
+            state.params, state.opt_state, acc, ema_y_next, ema_f_next = (
+                self._train_step(
+                    state.params, state.opt_state, acc, batch, ema_y, ema_f
+                )
             )
-            loss_y, loss_f, raw_y, raw_f = aux
-            # EMA state update uses the smoothed loss (module.py:126-127)
+            # EMA state update uses the smoothed loss (module.py:126-127);
+            # stays on device — no round trip.
             if h.get("ema_alpha_y", 1.0) < 1:
-                state.ema["train_y"] = float(loss_y)
+                ema_y = ema_y_next
             if h.get("ema_alpha_neg_dy", 1.0) < 1:
-                state.ema["train_neg_dy"] = float(loss_f)
-            totals += float(total)
-            ys += float(loss_y)
-            fs += float(loss_f)
+                ema_f = ema_f_next
             n += 1
             state.global_step += 1
+        totals, ys, fs = (float(v) for v in np.asarray(acc))  # ONE fetch/epoch
+        state.ema["train_y"] = float(np.asarray(ema_y))
+        state.ema["train_neg_dy"] = float(np.asarray(ema_f))
         out = {"train_total_mse_loss": totals / max(n, 1)}
         if h.get("y_weight", 1.0) > 0:
             out["train_y_mse_loss"] = ys / max(n, 1)
@@ -263,8 +280,11 @@ class Trainer:
             batch = self._shard_batch(batch)
             out = self._eval_step(params, batch)
             for k, v in out.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                # accumulate ON DEVICE; fetching per batch would cost one
+                # 35-70 ms tunnel round trip each (PERF.md)
+                sums[k] = sums.get(k, 0.0) + v
             n += 1
+        sums = {k: float(np.asarray(v)) for k, v in sums.items()}
         n = max(n, 1)
         metrics = {}
         y_w = h.get("y_weight", 1.0)
