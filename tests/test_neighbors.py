@@ -210,3 +210,60 @@ def test_minimum_image_rect():
     delta = jnp.array([[1.9, -3.9, 5.9]])
     wrapped = np.asarray(minimum_image(delta, box))
     np.testing.assert_allclose(wrapped, [[-0.1, 0.1, -0.1]], atol=1e-6)
+
+
+def test_ell_gather_matches_plain_autodiff():
+    """ell_gather's scatter-free custom VJP equals plain x[idx] autodiff to
+    first and second order, on a symmetric ELL list with padding + loops."""
+    from torchmdnet_tpu.ops.neighbors import ell_gather
+
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(rng.standard_normal((24, 3)) * 2.0, jnp.float64)
+    batch = jnp.asarray(np.sort(rng.integers(0, 2, 24)), jnp.int32)
+    am = jnp.asarray([True] * 20 + [False] * 4)
+    x0 = jnp.asarray(rng.standard_normal((24, 5)), jnp.float64)
+
+    for loop in (False, True):
+        nbl = neighbor_list(
+            pos0, batch, am, k=24, cutoff_upper=3.0, loop=loop
+        )
+
+        def f_custom(x):
+            out = ell_gather(x, nbl.idx)
+            return jnp.where(nbl.mask[..., None], jnp.sin(out) * out, 0.0).sum()
+
+        def f_plain(x):
+            out = x[nbl.idx]
+            return jnp.where(nbl.mask[..., None], jnp.sin(out) * out, 0.0).sum()
+
+        np.testing.assert_allclose(float(f_custom(x0)), float(f_plain(x0)))
+        g_c = jax.grad(f_custom)(x0)
+        g_p = jax.grad(f_plain)(x0)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_p), atol=1e-12)
+        # second order (force training = grad of grad)
+        h_c = jax.grad(lambda x: (jax.grad(f_custom)(x) ** 2).sum())(x0)
+        h_p = jax.grad(lambda x: (jax.grad(f_plain)(x) ** 2).sum())(x0)
+        np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_p), atol=1e-12)
+
+
+def test_ell_gather_unmasked_slots_grads():
+    """Cotangents on padding slots (idx == row) must flow to the row itself,
+    exactly like plain gather autodiff — even without masking."""
+    from torchmdnet_tpu.ops.neighbors import ell_gather
+
+    rng = np.random.default_rng(3)
+    pos0 = jnp.asarray(rng.standard_normal((16, 3)) * 2.0, jnp.float64)
+    nbl = neighbor_list(pos0, k=16, cutoff_upper=2.0)
+    x0 = jnp.asarray(rng.standard_normal((16, 4)), jnp.float64)
+
+    def f_custom(x):
+        return (ell_gather(x, nbl.idx) ** 2).sum()  # no mask on purpose
+
+    def f_plain(x):
+        return (x[nbl.idx] ** 2).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_custom)(x0)),
+        np.asarray(jax.grad(f_plain)(x0)),
+        atol=1e-12,
+    )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.nn.initializers import variance_scaling
 
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import NeighborList, safe_norm
+from torchmdnet_tpu.ops.neighbors import NeighborList, ell_gather, safe_norm
 
 # --- initializers -----------------------------------------------------------
 
@@ -113,7 +113,7 @@ class NeighborEmbedding(nn.Module):
         w = w * c[..., None]
 
         x_neighbors = Embedding(self.max_z, self.hidden_channels, dtype=self.dtype)(z)
-        msg = x_neighbors[nbl.idx] * w  # (N, K, H)
+        msg = ell_gather(x_neighbors, nbl.idx) * w  # (N, K, H)
         msg = jnp.where(nbl.mask[..., None], msg, 0.0)
         agg = msg.sum(axis=1)
 

@@ -29,6 +29,7 @@ from torchmdnet_tpu.ops.cutoff import cosine_cutoff
 from torchmdnet_tpu.ops.neighbors import (
     NeighborList,
     edge_geometry_components,
+    ell_gather,
     neighbor_list,
 )
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
@@ -78,7 +79,7 @@ class EquivariantMultiHeadAttention(nn.Module):
             )
 
         # --- per-edge message (reference message(), torchmd_et.py:314-335) ---
-        k_j = k[nbl.idx]  # (N, K, heads, hd)
+        k_j = ell_gather(k, nbl.idx)  # (N, K, heads, hd)
         q_i = q[:, None]  # (N, 1, heads, hd)
         if dk is None:
             attn = (q_i * k_j).sum(axis=-1)
@@ -89,7 +90,7 @@ class EquivariantMultiHeadAttention(nn.Module):
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = v[nbl.idx]  # (N, K, heads, 3hd)
+        v_j = ell_gather(v, nbl.idx)  # (N, K, heads, 3hd)
         if dv is not None:
             v_j = v_j * dv
         x_m, vw1, vw2 = jnp.split(v_j, 3, axis=-1)  # each (N, K, heads, hd)
@@ -103,7 +104,7 @@ class EquivariantMultiHeadAttention(nn.Module):
         mask4 = nbl.mask[:, :, None, None]
         vec_agg_comps = []
         for c in range(3):
-            vec_j_c = vec_per_head[:, c][nbl.idx]  # (N, K, heads, hd)
+            vec_j_c = ell_gather(vec_per_head[:, c], nbl.idx)  # (N, K, heads, hd)
             msg_c = vec_j_c * vw1 + vw2 * edge_dir[c][..., None, None]
             msg_c = jnp.where(mask4, msg_c, 0.0)
             vec_agg_comps.append(msg_c.sum(axis=1).reshape(n, h))

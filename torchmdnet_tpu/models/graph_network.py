@@ -15,7 +15,12 @@ import jax.numpy as jnp
 from torchmdnet_tpu.models.blocks import Embedding, NeighborEmbedding, XavierDense
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import NeighborList, edge_geometry_components, neighbor_list
+from torchmdnet_tpu.ops.neighbors import (
+    NeighborList,
+    edge_geometry_components,
+    ell_gather,
+    neighbor_list,
+)
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
@@ -41,7 +46,7 @@ class CFConv(nn.Module):
         w = w * c[..., None]  # (N, K, F)
 
         h = XavierDense(self.num_filters, use_bias=False, dtype=self.dtype)(x)
-        msg = h[nbl.idx] * w  # (N, K, F)
+        msg = ell_gather(h, nbl.idx) * w  # (N, K, F)
         if self.aggr == "add":
             msg = jnp.where(nbl.mask[..., None], msg, 0.0)
             agg = msg.sum(axis=1)

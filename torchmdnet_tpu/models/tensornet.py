@@ -29,7 +29,11 @@ from torchmdnet_tpu.models.blocks import (
 )
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import edge_geometry_components, neighbor_list
+from torchmdnet_tpu.ops.neighbors import (
+    edge_geometry_components,
+    ell_gather,
+    neighbor_list,
+)
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
@@ -141,7 +145,7 @@ class TensorEmbedding(nn.Module):
             jnp.concatenate(
                 [
                     jnp.broadcast_to(zemb[:, None, :], (z.shape[0], nbl.k, h)),
-                    zemb[nbl.idx],
+                    ell_gather(zemb, nbl.idx),
                 ],
                 axis=-1,
             )
@@ -203,7 +207,7 @@ class Interaction(nn.Module):
         # Edge-scalar-weighted tensor message passing (tensornet.py:329-332):
         # msg_i = sum_j f(i, j, c) * T[j, c]; gather-from-slots + masked sum.
         def mp(t, f):
-            t_j = t[nbl.idx]  # (N, K, 3, 3, H)
+            t_j = ell_gather(t, nbl.idx)  # (N, K, 3, 3, H)
             return (t_j * f[:, :, None, None, :]).sum(axis=1)
 
         msg = (

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 from torchmdnet_tpu.models.blocks import Embedding, LayerNorm, NeighborEmbedding, XavierDense
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import NeighborList, edge_geometry_components, neighbor_list
+from torchmdnet_tpu.ops.neighbors import (
+    NeighborList,
+    edge_geometry_components,
+    ell_gather,
+    neighbor_list,
+)
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
@@ -53,7 +58,7 @@ class MultiHeadAttention(nn.Module):
         if self.distance_influence in ("values", "both"):
             dv = act(XavierDense(h, dtype=self.dtype)(edge_attr)).reshape(n, -1, heads, hd)
 
-        k_j = k[nbl.idx]
+        k_j = ell_gather(k, nbl.idx)
         q_i = q[:, None]
         if dk is None:
             attn = (q_i * k_j).sum(axis=-1)
@@ -64,7 +69,7 @@ class MultiHeadAttention(nn.Module):
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = v[nbl.idx]
+        v_j = ell_gather(v, nbl.idx)
         if dv is not None:
             v_j = v_j * dv
         msg = v_j * attn[..., None]  # (N, K, heads, hd)

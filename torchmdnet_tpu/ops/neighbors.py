@@ -37,8 +37,11 @@ import jax.numpy as jnp
 from flax import struct
 
 
-# atom count at which 'auto' switches from brute to the cell list
-_AUTO_CELL_THRESHOLD = 6144
+# atom count at which 'auto' switches from brute to the cell list.  The
+# brute path's top-k over (N, N) grows superlinearly; measured crossover vs
+# the per-cell tiled strategy is ~1.5-2.5k atoms (PERF.md: at 2489 brute
+# 2.6 ms vs cell 1.7 ms; at 5807 brute 24 ms vs cell 4.5 ms).
+_AUTO_CELL_THRESHOLD = 2048
 
 
 @struct.dataclass
@@ -131,6 +134,79 @@ class NeighborList:
             self_loops=self.self_loops,
             cell_overflow=self.cell_overflow,
         )
+
+
+def _transpose_perm(idx):
+    """Permutation sending row-major ELL slots to transpose-grouped order.
+
+    For a SYMMETRIC ELL list (j appears in row i iff i appears in row j —
+    guaranteed by construction absent capacity overflow, which is flagged),
+    every atom j is pointed at by exactly K slots: its real neighbors'
+    transposed edges plus its own padding/self slots (idx == j).  Sorting
+    flat slot indices by target therefore yields segments of exactly K per
+    atom, so a scatter-add becomes [sort once] + gather + segment-free
+    reshape-sum.
+    """
+    return jnp.argsort(idx.ravel()).astype(jnp.int32)
+
+
+@jax.custom_vjp
+def ell_gather(x, idx):
+    """out[i, k] = x[idx[i, k]] with a scatter-free transpose.
+
+    The plain-autodiff VJP of a gather is an XLA scatter-add, ~10x slower
+    than a gather on TPU (PERF.md).  This op's VJP instead permutes the
+    cotangent into transpose order and reduces over K (ell_transpose_sum),
+    using only gathers; all higher derivative orders are likewise
+    scatter-free (the pair of ops reference each other's rules).
+
+    The reference needed a hand-written twice-differentiable backward for
+    the same reason (neighbors_cuda.cu:43-71); here the trick covers every
+    model's message-passing gather, not just the neighbor op.
+    """
+    return x[idx]
+
+
+@jax.custom_vjp
+def ell_transpose_sum(g, idx):
+    """dh[j] = sum of g[i, k] over all slots with idx[i, k] == j.
+
+    The linear transpose of ell_gather, computed with one argsort (CSE'd
+    across layers sharing the neighbor list) + one row gather + a K-axis
+    reduction instead of a scatter-add.
+    """
+    n, k = idx.shape
+    perm = _transpose_perm(idx)
+    g2 = g.reshape(n * k, -1)[perm]
+    return g2.reshape(n, k, -1).sum(axis=1).reshape((n,) + g.shape[2:])
+
+
+def _ell_gather_fwd(x, idx):
+    return x[idx], (idx,)
+
+
+def _ell_gather_bwd(res, g):
+    (idx,) = res
+    return ell_transpose_sum(g, idx), None
+
+
+ell_gather.defvjp(_ell_gather_fwd, _ell_gather_bwd)
+
+
+def _ell_transpose_sum_fwd(g, idx):
+    return ell_transpose_sum(g, idx), (idx,)
+
+
+def _ell_transpose_sum_bwd(res, c):
+    (idx,) = res
+    n, k = idx.shape
+    inv = jnp.argsort(_transpose_perm(idx)).astype(jnp.int32)
+    c2 = jnp.broadcast_to(c.reshape(n, 1, -1), (n, k, c.reshape(n, -1).shape[-1]))
+    out = c2.reshape(n * k, -1)[inv].reshape((n, k) + c.shape[1:])
+    return out, None
+
+
+ell_transpose_sum.defvjp(_ell_transpose_sum_fwd, _ell_transpose_sum_bwd)
 
 
 def minimum_image(delta, box):
@@ -391,8 +467,9 @@ def edge_geometry_components(
     """
     # One row-wise gather of (N, 3) is ~4x faster on TPU than three scalar
     # gathers; split into components immediately after (the (N, K, 3) view is
-    # transient and fuses away).
-    pj = pos[nbl.idx]  # (N, K, 3)
+    # transient and fuses away).  ell_gather keeps the force/force-training
+    # backward scatter-free.
+    pj = ell_gather(pos, nbl.idx)  # (N, K, 3)
     dx = pj[..., 0] - pos[:, None, 0]
     dy = pj[..., 1] - pos[:, None, 1]
     dz = pj[..., 2] - pos[:, None, 2]
