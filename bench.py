@@ -25,8 +25,6 @@ Prints ONE JSON line:
 """
 
 import json
-import time
-from functools import partial
 
 import numpy as np
 
@@ -52,34 +50,10 @@ def synthetic_protein(n_atoms: int, seed: int = 0):
 
 
 def device_ms_per_iter(step_fn, init_carry, k_lo: int = 2, k_hi: int = 22, reps: int = 3):
-    """Scan-differenced device time per iteration of ``step_fn``.
+    """Scan-differenced device time per iteration (see profiling.py)."""
+    from torchmdnet_tpu.profiling import device_ms_per_iter as impl
 
-    step_fn(carry, eps) -> carry must chain a data dependency through the
-    carry (multiply by the runtime-zero ``eps`` so XLA cannot fold it).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    @partial(jax.jit, static_argnames=("k",))
-    def loop(carry, eps, k):
-        carry, _ = jax.lax.scan(
-            lambda c, _: (step_fn(c, eps), None), carry, None, length=k
-        )
-        return jax.tree_util.tree_leaves(carry)[0].ravel()[0]
-
-    eps = jnp.float32(0.0)
-    float(np.asarray(loop(init_carry, eps, k_lo)))  # compile both
-    float(np.asarray(loop(init_carry, eps, k_hi)))
-
-    def best(k):
-        vals = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(loop(init_carry, eps, k)))
-            vals.append(time.perf_counter() - t0)
-        return min(vals)
-
-    return (best(k_hi) - best(k_lo)) / (k_hi - k_lo) * 1e3
+    return impl(step_fn, init_carry, k_lo=k_lo, k_hi=k_hi, reps=reps)
 
 
 def main():

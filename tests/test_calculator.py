@@ -1,0 +1,69 @@
+"""External calculator: matches direct model evaluation, including stacked
+multi-replica batches and unit transforms (reference tests/test_calculator.py
+compares External against load_model forward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchmdnet_tpu.calculators import External
+from torchmdnet_tpu.data.batch import pad_molecules
+from torchmdnet_tpu.models.potential import create_model
+
+from utils import load_example_args, random_molecule
+
+
+def _model():
+    args = load_example_args(
+        "graph-network", num_layers=2, embedding_dimension=16, num_rbf=8,
+        derivative=True,
+    )
+    model = create_model(args)
+    mol = random_molecule(6, seed=2, scale=1.2)
+    batch = pad_molecules([mol], num_atoms=6, num_mol=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, mol
+
+
+def test_external_matches_direct_single():
+    model, params, mol = _model()
+    ext = External((model, params), mol["z"][None, :])
+    y, f = ext.calculate(mol["pos"])
+    batch = pad_molecules([mol], num_atoms=6, num_mol=1)
+    y_d, f_d = model.energy_and_forces(params, batch)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_d), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f).reshape(-1, 3), np.asarray(f_d), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_external_stacked_replicas():
+    model, params, mol = _model()
+    nrep = 3
+    emb = np.tile(mol["z"][None, :], (nrep, 1))
+    ext = External((model, params), emb)
+    pos = np.stack([mol["pos"] + 0.01 * r for r in range(nrep)])
+    y, f = ext.calculate(pos)
+    assert np.asarray(f).shape == (nrep, len(mol["z"]), 3)
+    # each replica equals its own direct evaluation
+    for r in range(nrep):
+        m = dict(mol, pos=pos[r])
+        batch = pad_molecules([m], num_atoms=6, num_mol=1)
+        y_d, f_d = model.energy_and_forces(params, batch)
+        np.testing.assert_allclose(np.asarray(y)[r], np.asarray(y_d)[0], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(f)[r], np.asarray(f_d), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_external_unit_transform():
+    model, params, mol = _model()
+    ext_plain = External((model, params), mol["z"][None, :])
+    ext_kcal = External(
+        (model, params), mol["z"][None, :],
+        output_transform="eV/A -> kcal/mol/A",
+    )
+    y0, f0 = ext_plain.calculate(mol["pos"])
+    y1, f1 = ext_kcal.calculate(mol["pos"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0) * 23.0609, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0) * 23.0609, rtol=1e-6)

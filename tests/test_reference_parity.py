@@ -47,11 +47,28 @@ def _np_cutoff(d, cutoff_upper):
 
 
 def numpy_et_forward(params, z, pos, args):
-    """Direct edge-list ET (reference torchmd_et.py equations)."""
-    rp = params["params"]["representation"]
+    """Direct edge-list ET (reference torchmd_et.py equations).
+
+    The framework stores v_proj/dv_proj kernels with globally-split thirds
+    (models/et.py:vproj_column_perm); the oracle speaks the reference's
+    per-head-split convention, so those columns are un-permuted here.
+    """
+    from torchmdnet_tpu.models.et import vproj_column_perm
+
+    rp = jax.tree_util.tree_map(np.asarray, params["params"]["representation"])
     h = args["embedding_dimension"]
     heads = args["num_heads"]
     hd = h // heads
+    inv_perm = np.argsort(vproj_column_perm(h, heads))
+    import copy
+
+    rp = copy.deepcopy(rp)
+    for li in range(args["num_layers"]):
+        lp = rp[f"EquivariantMultiHeadAttention_{li}"]
+        for name in ("Dense_2", "Dense_5"):  # v_proj, dv_proj
+            lp[name]["kernel"] = lp[name]["kernel"][:, inv_perm]
+            if "bias" in lp[name]:
+                lp[name]["bias"] = lp[name]["bias"][inv_perm]
     cutoff = args["cutoff_upper"]
     n = len(z)
 

@@ -78,7 +78,9 @@ class External:
         else:
             self.output_transformer = eval(output_transform)  # noqa: S307 (reference parity)
 
-        @partial(jax.jit, donate_argnums=(1,))
+        # pos is NOT donated: MD engines often pass buffers they still hold
+        # (donation would invalidate them); the saving is one (N, 3) array.
+        @jax.jit
         def _step(params, pos, box):
             batch = self._template.replace(pos=pos)
             y, neg_dy = self.model.energy_and_forces(

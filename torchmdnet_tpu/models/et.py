@@ -22,6 +22,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from torchmdnet_tpu.models.blocks import Embedding, LayerNorm, NeighborEmbedding, XavierDense
 from torchmdnet_tpu.ops.activations import act_fn_mapping
@@ -33,6 +34,26 @@ from torchmdnet_tpu.ops.neighbors import (
     neighbor_list,
 )
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
+
+
+def vproj_column_perm(hidden_channels: int, num_heads: int) -> np.ndarray:
+    """Column permutation between the reference's v/dv projection layout and
+    ours.
+
+    The reference splits the 3H-wide value projection PER HEAD
+    (torchmd_et.py: v_j.reshape(-1, heads, 3*head_dim) then split(head_dim)),
+    i.e. reference column g*3hd + p*hd + d holds (head g, part p, dim d).
+    This framework splits in GLOBAL thirds (our column p*H + g*hd + d) so
+    every tensor stays full-width on the 128-lane axis.  The math is
+    identical with permuted weight columns: W_ours = W_ref[:, perm] with the
+    perm returned here.  The torch-checkpoint importer applies it; fresh
+    training is unaffected (column-permutation-invariant init).
+    """
+    hd = hidden_channels // num_heads
+    ours = np.arange(3 * hidden_channels)
+    p, rem = np.divmod(ours, hidden_channels)
+    g, d = np.divmod(rem, hd)
+    return g * 3 * hd + p * hd + d
 
 
 class EquivariantMultiHeadAttention(nn.Module):
@@ -58,59 +79,64 @@ class EquivariantMultiHeadAttention(nn.Module):
         attn_act = act_fn_mapping[self.attn_activation]
 
         x = LayerNorm(dtype=self.dtype)(x)
-        q = XavierDense(h, dtype=self.dtype)(x).reshape(n, heads, hd)
-        k = XavierDense(h, dtype=self.dtype)(x).reshape(n, heads, hd)
-        v = XavierDense(3 * h, dtype=self.dtype)(x).reshape(n, heads, 3 * hd)
+        q = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
+        k = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
+        v = XavierDense(3 * h, dtype=self.dtype)(x)  # (N, 3H)
 
         vec123 = XavierDense(3 * h, use_bias=False, dtype=self.dtype)(vec)
         vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)  # each (N, 3, H)
         vec_dot = (vec1 * vec2).sum(axis=1)  # (N, H)
 
-        # distance filters on edge RBFs
+        # TPU layout note: every per-edge tensor stays (..., H) with the full
+        # H=128 channels on the lane axis.  A (N, K, heads, hd=16) layout pads
+        # the 16-wide trailing dim to 128 lanes (8x memory/bandwidth waste —
+        # measured 4x whole-model slowdown).  Per-head attention reductions
+        # are instead ONE small matmul with a block-of-ones matrix: each lane
+        # receives its own head's sum, already broadcast.
+        ones_block = jnp.asarray(
+            np.kron(np.eye(heads), np.ones((hd, hd))), x.dtype
+        )  # (H, H), 1 where both lanes belong to the same head
+
+        # distance filters on edge RBFs, full width
         dk = None
         if self.distance_influence in ("keys", "both"):
-            dk = act(XavierDense(h, dtype=self.dtype)(edge_attr)).reshape(
-                n, -1, heads, hd
-            )
+            dk = act(XavierDense(h, dtype=self.dtype)(edge_attr))  # (N, K, H)
         dv = None
         if self.distance_influence in ("values", "both"):
-            dv = act(XavierDense(3 * h, dtype=self.dtype)(edge_attr)).reshape(
-                n, -1, heads, 3 * hd
-            )
+            dv = act(XavierDense(3 * h, dtype=self.dtype)(edge_attr))  # (N, K, 3H)
 
         # --- per-edge message (reference message(), torchmd_et.py:314-335) ---
-        k_j = ell_gather(k, nbl.idx)  # (N, K, heads, hd)
-        q_i = q[:, None]  # (N, 1, heads, hd)
-        if dk is None:
-            attn = (q_i * k_j).sum(axis=-1)
-        else:
-            attn = (q_i * k_j * dk).sum(axis=-1)  # (N, K, heads)
+        k_j = ell_gather(k, nbl.idx)  # (N, K, H)
+        prod = q[:, None, :] * k_j
+        if dk is not None:
+            prod = prod * dk
+        # per-head sum, broadcast back to the head's lanes, in one matmul
+        attn = prod @ ones_block  # (N, K, H); lane l holds sum over l's head
         attn = attn_act(attn) * cosine_cutoff(
             dist, self.cutoff_lower, self.cutoff_upper
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = ell_gather(v, nbl.idx)  # (N, K, heads, 3hd)
+        v_j = ell_gather(v, nbl.idx)  # (N, K, 3H)
         if dv is not None:
             v_j = v_j * dv
-        x_m, vw1, vw2 = jnp.split(v_j, 3, axis=-1)  # each (N, K, heads, hd)
+        x_m, vw1, vw2 = jnp.split(v_j, 3, axis=-1)  # each (N, K, H)
 
-        x_msg = x_m * attn[..., None]  # (N, K, heads, hd)
+        x_msg = x_m * attn  # (N, K, H)
 
         # Vector messages, built per xyz component so the small (N, K) edge
-        # directions broadcast straight into the wide (heads, hd)-trailing
-        # tensors (no (N, K, 3) lane-padded intermediate).
-        vec_per_head = vec.reshape(n, 3, heads, hd)
-        mask4 = nbl.mask[:, :, None, None]
+        # directions broadcast straight into the wide H-trailing tensors
+        # (no (N, K, 3) lane-padded intermediate).
+        mask3 = nbl.mask[:, :, None]
         vec_agg_comps = []
         for c in range(3):
-            vec_j_c = ell_gather(vec_per_head[:, c], nbl.idx)  # (N, K, heads, hd)
-            msg_c = vec_j_c * vw1 + vw2 * edge_dir[c][..., None, None]
-            msg_c = jnp.where(mask4, msg_c, 0.0)
-            vec_agg_comps.append(msg_c.sum(axis=1).reshape(n, h))
+            vec_j_c = ell_gather(vec[:, c], nbl.idx)  # (N, K, H)
+            msg_c = vec_j_c * vw1 + vw2 * edge_dir[c][..., None]
+            msg_c = jnp.where(mask3, msg_c, 0.0)
+            vec_agg_comps.append(msg_c.sum(axis=1))
 
         # --- aggregate over neighbor slots (scatter-add analog) ---
-        x_agg = x_msg.sum(axis=1).reshape(n, h)
+        x_agg = x_msg.sum(axis=1)
         vec_agg = jnp.stack(vec_agg_comps, axis=1)  # (N, 3, H)
 
         # --- node update (torchmd_et.py:309-312) ---

@@ -1,10 +1,19 @@
 """TensorNet representation model (Cartesian rank-2 tensor features).
 
 TPU-native re-design of the reference TensorNet (torchmdnet/models/tensornet.py,
-arXiv:2306.06482).  Feature layout is channel-LAST: X has shape (N, 3, 3, H)
-(the reference uses (N, H, 3, 3)), so the hidden axis H sits on the TPU lane
-dimension and channel-mixing linears are plain trailing-axis matmuls with no
-permutes (the reference permutes around every linear, tensornet.py:388-390).
+arXiv:2306.06482).  Feature layout: the per-atom rank-2 tensor X (reference
+(N, H, 3, 3)) is carried as NINE separate (N, H) component arrays ("T9",
+row-major X[a, b] = t[a * 3 + b]) so every hot op is a full-width (N, H)
+lane-aligned operation — a (N, 3, 3, H) tensor pads the 3-wide sublane axis
+2.7x and a (N, H, 3, 3) one pads the lane axis 42x.  Irrep decomposition,
+per-channel matrix products, and Frobenius norms are all closed-form in the
+components; irreps are mutually orthogonal under the Frobenius inner product
+so norms add (|I+A+S|^2 = |I|^2+|A|^2+|S|^2).
+
+Message passing gathers only the 9 unique irrep generators per atom
+(1 trace + 3 skew + 5 symmetric-traceless) in ONE (N, K, 9H) gather and
+reconstructs messages node-level — aggregation is linear in the components
+(reference tensornet.py:329-332 semantics, exactly).
 
 Semantics match the reference *dynamic-shapes* path: masked/padded edges
 contribute exactly zero.  (The reference's static_shapes mode re-points padded
@@ -37,14 +46,101 @@ from torchmdnet_tpu.ops.neighbors import (
 from torchmdnet_tpu.ops.rbf import rbf_class_mapping
 
 
-def vector_to_skewtensor(vector):
-    """Skew-symmetric tensor from a vector; (..., 3) -> (..., 3, 3).
+# ---------------------------------------------------------------------------
+# T9 representation: tuple of 9 arrays (..., H); X[a, b] = t[a * 3 + b].
+# Irreps: I = lam * eye (1 comp); A skew (3 comps a10, a20, a21, where
+# A[1,0] = a10 etc.); S symmetric traceless (6 comps s00, s11, s22, s01,
+# s02, s12 with s00+s11+s22 = 0 by construction).
+# ---------------------------------------------------------------------------
 
-    Reference tensornet.py:16-34.
+
+def t9_norm(t):
+    """Frobenius norm^2 over the 3x3 axes: -> (..., H).
+
+    Reference tensor_norm (tensornet.py:66-67).
     """
+    return sum(c * c for c in t)
+
+
+def t9_decompose(t):
+    """T9 -> (lam, (a10, a20, a21), (s00, s11, s22, s01, s02, s12)).
+
+    Reference decompose_tensor (tensornet.py:48-54): I = trace/3 * eye,
+    A = (X - X^T)/2, S = (X + X^T)/2 - I.
+    """
+    lam = (t[0] + t[4] + t[8]) / 3.0
+    a10 = 0.5 * (t[3] - t[1])
+    a20 = 0.5 * (t[6] - t[2])
+    a21 = 0.5 * (t[7] - t[5])
+    s00 = t[0] - lam
+    s11 = t[4] - lam
+    s22 = t[8] - lam
+    s01 = 0.5 * (t[1] + t[3])
+    s02 = 0.5 * (t[2] + t[6])
+    s12 = 0.5 * (t[5] + t[7])
+    return lam, (a10, a20, a21), (s00, s11, s22, s01, s02, s12)
+
+
+def t9_from_irreps(lam, a, s):
+    """Assemble T9 = I + A + S from irrep components."""
+    a10, a20, a21 = a
+    s00, s11, s22, s01, s02, s12 = s
+    return (
+        lam + s00, -a10 + s01, -a20 + s02,
+        a10 + s01, lam + s11, -a21 + s12,
+        a20 + s02, a21 + s12, lam + s22,
+    )
+
+
+def irrep_norms(lam, a, s):
+    """Frobenius norm^2 of each irrep (orthogonal, so they add)."""
+    a10, a20, a21 = a
+    s00, s11, s22, s01, s02, s12 = s
+    ni = 3.0 * lam * lam
+    na = 2.0 * (a10 * a10 + a20 * a20 + a21 * a21)
+    ns = (
+        s00 * s00 + s11 * s11 + s22 * s22
+        + 2.0 * (s01 * s01 + s02 * s02 + s12 * s12)
+    )
+    return ni, na, ns
+
+
+def t9_matmul(x, y):
+    """3x3 matrix product per channel: out[a,c] = sum_b X[a,b] Y[b,c]."""
+    return tuple(
+        x[a * 3 + 0] * y[0 * 3 + c]
+        + x[a * 3 + 1] * y[1 * 3 + c]
+        + x[a * 3 + 2] * y[2 * 3 + c]
+        for a in range(3)
+        for c in range(3)
+    )
+
+
+def t9_add(x, y):
+    return tuple(xc + yc for xc, yc in zip(x, y))
+
+
+def t9_scale(x, w):
+    return tuple(c * w for c in x)
+
+
+# Full-form converters (tests / external use).
+def t9_to_full(t):
+    return jnp.stack(
+        [jnp.stack(t[a * 3 : a * 3 + 3], axis=-2) for a in range(3)], axis=-3
+    )
+
+
+def full_to_t9(x):
+    return tuple(x[..., a, b, :] for a in range(3) for b in range(3))
+
+
+# Back-compat full-form helpers (kept for tests; reference tensornet.py:16-67)
+def vector_to_skewtensor(vector):
+    """Skew-symmetric tensor from a vector; (..., 3) -> (..., 3, 3)."""
     x, y, z = vector[..., 0], vector[..., 1], vector[..., 2]
     zero = jnp.zeros_like(x)
-    rows = jnp.stack(
+    return jnp.stack(
         [
             jnp.stack([zero, -z, y], axis=-1),
             jnp.stack([z, zero, -x], axis=-1),
@@ -52,11 +148,10 @@ def vector_to_skewtensor(vector):
         ],
         axis=-2,
     )
-    return rows
 
 
 def vector_to_symtensor(vector):
-    """Traceless symmetric part of the outer product v v^T (tensornet.py:38-44)."""
+    """Traceless symmetric part of the outer product v v^T."""
     outer = vector[..., :, None] * vector[..., None, :]
     eye = jnp.eye(3, dtype=vector.dtype)
     trace = jnp.trace(outer, axis1=-2, axis2=-1)[..., None, None] / 3.0
@@ -64,10 +159,7 @@ def vector_to_symtensor(vector):
 
 
 def decompose_tensor(t):
-    """Split (..., 3, 3, H) into irreps I (trace), A (skew), S (sym-traceless).
-
-    Reference tensornet.py:48-54 (channel axis moved last).
-    """
+    """Split (..., 3, 3, H) into irreps I, A, S (full form, for tests)."""
     eye = jnp.eye(3, dtype=t.dtype)[:, :, None]
     trace = (t[..., 0, 0, :] + t[..., 1, 1, :] + t[..., 2, 2, :])[..., None, None, :] / 3.0
     i_part = trace * eye
@@ -81,13 +173,12 @@ def tensor_norm(t):
     return (t * t).sum(axis=(-3, -2))
 
 
-def tensor_matmul(a, b):
-    """3x3 matrix product per channel: (..., 3, 3, H) x (..., 3, 3, H)."""
-    return jnp.einsum("...abh,...bch->...ach", a, b)
-
-
 class TensorEmbedding(nn.Module):
-    """Edge-tensor embedding (reference tensornet.py:237-326)."""
+    """Edge-tensor embedding (reference tensornet.py:237-326), T9 output.
+
+    The aggregation is linear in the per-edge irrep generators, so only the
+    10 unique (N, K, H) sums are computed (no (N, K, 3, 3, H) tensor).
+    """
 
     hidden_channels: int
     num_rbf: int
@@ -107,38 +198,7 @@ class TensorEmbedding(nn.Module):
         w2 = TorchDefaultDense(h, self.num_rbf, dtype=self.dtype)(edge_attr) * c
         w3 = TorchDefaultDense(h, self.num_rbf, dtype=self.dtype)(edge_attr) * c
 
-        # Edge irrep tensors built straight from the (N, K) direction
-        # components into channel-last (N, K, 3, 3, H) — the 3x3 axes sit in
-        # the middle so H stays on the TPU lane dimension.
         ex, ey, ez = edge_dir
-        zero = jnp.zeros_like(w1)
-
-        def e33(rows):
-            return jnp.stack(
-                [jnp.stack(r, axis=-2) for r in rows], axis=-3
-            )  # (N, K, 3, 3, H)
-
-        iij = e33(
-            [[w1, zero, zero], [zero, w1, zero], [zero, zero, w1]]
-        )
-        exw, eyw, ezw = ex[..., None] * w2, ey[..., None] * w2, ez[..., None] * w2
-        aij = e33(
-            [[zero, -ezw, eyw], [ezw, zero, -exw], [-eyw, exw, zero]]
-        )
-        v2 = (ex * ex + ey * ey + ez * ez)[..., None] / 3.0
-        sxx = (ex * ex)[..., None] - v2
-        syy = (ey * ey)[..., None] - v2
-        szz = (ez * ez)[..., None] - v2
-        sxy = (ex * ey)[..., None]
-        sxz = (ex * ez)[..., None]
-        syz = (ey * ez)[..., None]
-        sij = e33(
-            [
-                [sxx * w3, sxy * w3, sxz * w3],
-                [sxy * w3, syy * w3, syz * w3],
-                [sxz * w3, syz * w3, szz * w3],
-            ]
-        )
 
         zemb = Embedding(self.max_z, h, dtype=self.dtype)(z)  # (N, H)
         zij = TorchDefaultDense(h, 2 * h, dtype=self.dtype)(
@@ -150,31 +210,66 @@ class TensorEmbedding(nn.Module):
                 axis=-1,
             )
         )  # (N, K, H)
-        gate = jnp.where(nbl.mask[..., None], zij, 0.0)[..., None, None, :]
+        gate = jnp.where(nbl.mask[..., None], zij, 0.0)
 
-        i_n = (gate * iij).sum(axis=1)  # (N, 3, 3, H)
-        a_n = (gate * aij).sum(axis=1)
-        s_n = (gate * sij).sum(axis=1)
+        gw1 = gate * w1  # I weight per edge
+        gw2 = gate * w2  # A weight
+        gw3 = gate * w3  # S weight
+        lam = gw1.sum(axis=1)  # (N, H): I = lam * eye
+        px = (gw2 * ex[..., None]).sum(axis=1)
+        py = (gw2 * ey[..., None]).sum(axis=1)
+        pz = (gw2 * ez[..., None]).sum(axis=1)
+        qxx = (gw3 * (ex * ex)[..., None]).sum(axis=1)
+        qyy = (gw3 * (ey * ey)[..., None]).sum(axis=1)
+        qzz = (gw3 * (ez * ez)[..., None]).sum(axis=1)
+        qxy = (gw3 * (ex * ey)[..., None]).sum(axis=1)
+        qxz = (gw3 * (ex * ez)[..., None]).sum(axis=1)
+        qyz = (gw3 * (ey * ez)[..., None]).sum(axis=1)
+        tr3 = (qxx + qyy + qzz) / 3.0
 
-        norm = LayerNorm(dtype=self.dtype)(tensor_norm(i_n + a_n + s_n))
-        i_n = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(i_n)
-        a_n = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(a_n)
-        s_n = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(s_n)
+        # Skew convention: aij = vector_to_skewtensor(edge_dir) gated, so
+        # A[1,0] = sum gate*w2*ez = pz, A[2,0] = -py, A[2,1] = px.
+        a_n = (pz, -py, px)
+        s_n = (qxx - tr3, qyy - tr3, qzz - tr3, qxy, qxz, qyz)
+
+        ni, na, ns = irrep_norms(lam, a_n, s_n)
+        norm = LayerNorm(dtype=self.dtype)(ni + na + ns)
+
+        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(lam)
+        dense_a = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        a_n = tuple(dense_a(comp) for comp in a_n)
+        dense_s = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        s_n = tuple(dense_s(comp) for comp in s_n)
 
         norm = act(TorchDefaultDense(2 * h, h, dtype=self.dtype)(norm))
         norm = act(TorchDefaultDense(3 * h, 2 * h, dtype=self.dtype)(norm))
-        norm = norm.reshape(norm.shape[0], h, 3)
+        g_i, g_a, g_s = norm[..., 0::3], norm[..., 1::3], norm[..., 2::3]
 
-        x = (
-            i_n * norm[:, None, None, :, 0]
-            + a_n * norm[:, None, None, :, 1]
-            + s_n * norm[:, None, None, :, 2]
+        return t9_from_irreps(
+            lam * g_i,
+            tuple(comp * g_a for comp in a_n),
+            tuple(comp * g_s for comp in s_n),
         )
-        return x
+
+
+def wproj_column_perm(hidden_channels: int):
+    """Column permutation between the reference's interaction edge-filter
+    layout and ours.
+
+    The reference reshapes the 3H-wide filter to (H, 3) — irrep r of channel
+    c at column c*3 + r (tensornet.py:385-387).  This framework slices
+    contiguous thirds (irrep-major), so the last scalar linear's columns are
+    stored permuted: W_ours = W_ref[:, perm].  The torch-checkpoint importer
+    applies it; fresh training is unaffected.
+    """
+    import numpy as np
+
+    ours = np.arange(3 * hidden_channels)
+    return (ours % hidden_channels) * 3 + ours // hidden_channels
 
 
 class Interaction(nn.Module):
-    """One TensorNet interaction layer (reference tensornet.py:335-410)."""
+    """One TensorNet interaction layer (reference tensornet.py:335-410), T9."""
 
     num_rbf: int
     hidden_channels: int
@@ -194,44 +289,60 @@ class Interaction(nn.Module):
         w = act(TorchDefaultDense(2 * h, h, dtype=self.dtype)(w))
         w = act(TorchDefaultDense(3 * h, 2 * h, dtype=self.dtype)(w))
         w = w * c[..., None]
-        w = jnp.where(nbl.mask[..., None], w, 0.0)
-        w = w.reshape(w.shape[0], w.shape[1], h, 3)  # (N, K, H, 3)
+        w = jnp.where(nbl.mask[..., None], w, 0.0)  # (N, K, 3H)
 
-        x = x / (tensor_norm(x) + 1.0)[..., None, None, :]
-        i_p, a_p, s_p = decompose_tensor(x)
-        i_p = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(i_p)
-        a_p = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(a_p)
-        s_p = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(s_p)
-        y = i_p + a_p + s_p
+        inv = 1.0 / (t9_norm(x) + 1.0)
+        x = t9_scale(x, inv)
+        lam, a_p, s_p = t9_decompose(x)
+        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(lam)
+        dense_a = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        a_p = tuple(dense_a(comp) for comp in a_p)
+        dense_s = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        s_p = tuple(dense_s(comp) for comp in s_p)
+        y = t9_from_irreps(lam, a_p, s_p)
 
         # Edge-scalar-weighted tensor message passing (tensornet.py:329-332):
-        # msg_i = sum_j f(i, j, c) * T[j, c]; gather-from-slots + masked sum.
-        def mp(t, f):
-            t_j = ell_gather(t, nbl.idx)  # (N, K, 3, 3, H)
-            return (t_j * f[:, :, None, None, :]).sum(axis=1)
-
-        msg = (
-            mp(i_p, w[..., 0])
-            + mp(a_p, w[..., 1])
-            + mp(s_p, w[..., 2])
+        # msg_i = sum_j w_I I[j] + w_A A[j] + w_S S[j].  Gather + reduce ONLY
+        # the 9 unique irrep components ((N, K, 9H), no 3x3 padding) and
+        # reconstruct node-level; linear in the components so math unchanged.
+        cat = jnp.concatenate(
+            [lam, *a_p, s_p[0], s_p[1], s_p[3], s_p[4], s_p[5]], axis=-1
+        )  # (N, 9H); s22 is derived (traceless)
+        cat_j = ell_gather(cat, nbl.idx)  # (N, K, 9H)
+        w_i, w_a, w_s = jnp.split(w, 3, axis=-1)  # (N, K, H) each
+        wcat = jnp.concatenate(
+            [w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s], axis=-1
+        )
+        sums = (cat_j * wcat).sum(axis=1)  # (N, 9H)
+        m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = jnp.split(
+            sums, 9, axis=-1
+        )
+        msg = t9_from_irreps(
+            m_l,
+            (m_a0, m_a1, m_a2),
+            (m_s00, m_s11, -m_s00 - m_s11, m_s01, m_s02, m_s12),
         )
 
         if self.equivariance_invariance_group == "O(3)":
-            a_new = tensor_matmul(msg, y)
-            b_new = tensor_matmul(y, msg)
-            i_p, a_p, s_p = decompose_tensor(a_new + b_new)
+            ab = t9_add(t9_matmul(msg, y), t9_matmul(y, msg))
+            lam, a_p, s_p = t9_decompose(ab)
         else:  # SO(3)
-            b_new = tensor_matmul(y, msg)
-            i_p, a_p, s_p = decompose_tensor(2.0 * b_new)
+            b_new = t9_matmul(y, msg)
+            lam, a_p, s_p = t9_decompose(tuple(2.0 * cpt for cpt in b_new))
 
-        normp1 = (tensor_norm(i_p + a_p + s_p) + 1.0)[..., None, None, :]
-        i_p, a_p, s_p = i_p / normp1, a_p / normp1, s_p / normp1
-        i_p = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(i_p)
-        a_p = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(a_p)
-        s_p = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(s_p)
-        dx = i_p + a_p + s_p
-        x = x + dx + tensor_matmul(dx, dx)
-        return x
+        ni, na, ns = irrep_norms(lam, a_p, s_p)
+        invp = 1.0 / (ni + na + ns + 1.0)
+        lam = lam * invp
+        a_p = tuple(comp * invp for comp in a_p)
+        s_p = tuple(comp * invp for comp in s_p)
+        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(lam)
+        dense_a2 = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        a_p = tuple(dense_a2(comp) for comp in a_p)
+        dense_s2 = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        s_p = tuple(dense_s2(comp) for comp in s_p)
+        dx = t9_from_irreps(lam, a_p, s_p)
+        # x + dx + dx^2 (matrix square; reference matrix_power, :409)
+        return t9_add(t9_add(x, dx), t9_matmul(dx, dx))
 
 
 class TensorNet(nn.Module):
@@ -301,10 +412,9 @@ class TensorNet(nn.Module):
                 dtype=self.dtype,
             )(x, nbl, dist, edge_attr)
 
-        i_p, a_p, s_p = decompose_tensor(x)
-        feats = jnp.concatenate(
-            [tensor_norm(i_p), tensor_norm(a_p), tensor_norm(s_p)], axis=-1
-        )
+        lam, a_p, s_p = t9_decompose(x)
+        ni, na, ns = irrep_norms(lam, a_p, s_p)
+        feats = jnp.concatenate([ni, na, ns], axis=-1)
         feats = LayerNorm(dtype=self.dtype)(feats)
         act = act_fn_mapping[self.activation]
         out = act(

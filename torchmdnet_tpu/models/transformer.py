@@ -11,6 +11,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from torchmdnet_tpu.models.blocks import Embedding, LayerNorm, NeighborEmbedding, XavierDense
 from torchmdnet_tpu.ops.activations import act_fn_mapping
@@ -47,23 +48,29 @@ class MultiHeadAttention(nn.Module):
         attn_act = act_fn_mapping[self.attn_activation]
 
         x = LayerNorm(dtype=self.dtype)(x)
-        q = XavierDense(h, dtype=self.dtype)(x).reshape(n, heads, hd)
-        k = XavierDense(h, dtype=self.dtype)(x).reshape(n, heads, hd)
-        v = XavierDense(h, dtype=self.dtype)(x).reshape(n, heads, hd)
+        q = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
+        k = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
+        v = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
+
+        # TPU layout: keep every per-edge tensor (..., H)-trailing; per-head
+        # attention sums via one block-of-ones matmul (see et.py for the
+        # rationale — a (heads, hd=16)-trailing layout pads lanes 8x).
+        ones_block = jnp.asarray(
+            np.kron(np.eye(heads), np.ones((hd, hd))), x.dtype
+        )
 
         dk = None
         if self.distance_influence in ("keys", "both"):
-            dk = act(XavierDense(h, dtype=self.dtype)(edge_attr)).reshape(n, -1, heads, hd)
+            dk = act(XavierDense(h, dtype=self.dtype)(edge_attr))  # (N, K, H)
         dv = None
         if self.distance_influence in ("values", "both"):
-            dv = act(XavierDense(h, dtype=self.dtype)(edge_attr)).reshape(n, -1, heads, hd)
+            dv = act(XavierDense(h, dtype=self.dtype)(edge_attr))  # (N, K, H)
 
         k_j = ell_gather(k, nbl.idx)
-        q_i = q[:, None]
-        if dk is None:
-            attn = (q_i * k_j).sum(axis=-1)
-        else:
-            attn = (q_i * k_j * dk).sum(axis=-1)
+        prod = q[:, None, :] * k_j
+        if dk is not None:
+            prod = prod * dk
+        attn = prod @ ones_block  # (N, K, H); lane l = its head's sum
         attn = attn_act(attn) * cosine_cutoff(
             dist, self.cutoff_lower, self.cutoff_upper
         )[..., None]
@@ -72,8 +79,8 @@ class MultiHeadAttention(nn.Module):
         v_j = ell_gather(v, nbl.idx)
         if dv is not None:
             v_j = v_j * dv
-        msg = v_j * attn[..., None]  # (N, K, heads, hd)
-        out = msg.sum(axis=1).reshape(n, h)
+        msg = v_j * attn  # (N, K, H)
+        out = msg.sum(axis=1)
         return XavierDense(h, dtype=self.dtype)(out)
 
 

@@ -7,9 +7,17 @@ discipline around it:
 
 - one cached executable per (atom-capacity, box) signature with donated
   position buffers (the CUDA-graph-replay analog),
-- the split neighbor/network program structure for large systems,
-- optional bf16 activation compute,
-- no host work per call beyond dispatch.
+- the split neighbor/network program structure for large systems (one XLA
+  program per stage; the fused 30k-atom program is slower AND slow to
+  compile),
+- optional Verlet-skin neighbor reuse across calls (``skin`` > 0): the
+  neighbor list is rebuilt every ``rebuild_every`` calls with cutoff+skin
+  and re-masked to the true cutoff on every call (NeighborList.refine),
+  exact while no atom moves more than skin/2 between rebuilds; the actual
+  displacement bound is tracked ON DEVICE and exposed as the lazily
+  fetchable ``stale`` property (a per-call host fetch would cost a full
+  tunnel round trip, PERF.md),
+- no host work per call beyond dispatch (results stay on device).
 """
 
 from functools import partial
@@ -17,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from torchmdnet_tpu.data.batch import AtomicBatch
 from torchmdnet_tpu.models.potential import Potential, create_model
@@ -26,22 +35,67 @@ _SPLIT_THRESHOLD = 6144
 
 
 class OptimizedPotential:
-    """Latency-optimized energy/force evaluator for a fixed batch signature."""
+    """Latency-optimized energy/force evaluator for a fixed batch signature.
 
-    def __init__(self, model: Potential, params, example: AtomicBatch, box=None):
+    Args:
+        skin: Verlet-skin width (Angstrom); 0 disables neighbor reuse.
+        rebuild_every: calls between neighbor rebuilds when skin > 0.  Pick
+            skin >= 2 * rebuild_every * (max per-step displacement); check
+            the ``stale`` property periodically to validate the choice.
+    """
+
+    def __init__(
+        self,
+        model: Potential,
+        params,
+        example: AtomicBatch,
+        box=None,
+        skin: float = 0.0,
+        rebuild_every: int = 20,
+    ):
         self.model = model
         self.params = params
         self.box = box
         self._template = example
         n = example.num_atoms
-        self.split = n >= _SPLIT_THRESHOLD
+        self.skin = float(skin)
+        self.rebuild_every = int(rebuild_every)
+        self.split = n >= _SPLIT_THRESHOLD or self.skin > 0.0
+        self._calls_since_rebuild = 0
+        self._nbl = None
+        self._stale = jnp.zeros((), bool)
+        lo = model.args.get("cutoff_lower", 0.0)
+        hi = model.args.get("cutoff_upper", 5.0)
 
         if self.split:
             self._nbl_fn = jax.jit(
-                lambda pos: model.neighbors(example.replace(pos=pos), box=box)
+                lambda pos: model.neighbors(
+                    example.replace(pos=pos), box=box, skin=self.skin
+                )
             )
 
-            @partial(jax.jit, donate_argnums=(1,))
+            @jax.jit
+            def refine_step(params, pos, ref_pos, nbl, stale):
+                nbl_r = nbl.refine(pos, lo, hi, box)
+                drift2 = jnp.max(
+                    jnp.where(
+                        example.atom_mask,
+                        jnp.sum((pos - ref_pos) ** 2, axis=-1),
+                        0.0,
+                    )
+                )
+                bad = drift2 > jnp.asarray((0.5 * self.skin) ** 2, drift2.dtype)
+                bad = bad | nbl.overflow()
+                if nbl.cell_overflow is not None:
+                    bad = bad | nbl.cell_overflow
+                y, neg_dy = model.energy_and_forces(
+                    params, example.replace(pos=pos), box=box, nbl=nbl_r
+                )
+                return y, neg_dy, stale | bad
+
+            self._refine_step = refine_step
+
+            @jax.jit
             def step(params, pos, nbl):
                 return model.energy_and_forces(
                     params, example.replace(pos=pos), box=box, nbl=nbl
@@ -49,8 +103,10 @@ class OptimizedPotential:
 
             self._step = step
         else:
-
-            @partial(jax.jit, donate_argnums=(1,))
+            # NOTE: pos is deliberately NOT donated — callers routinely pass
+            # a buffer they still hold (donation would delete it under them),
+            # and the allocation it saves is one (N, 3) array.
+            @jax.jit
             def step(params, pos):
                 return model.energy_and_forces(
                     params, example.replace(pos=pos), box=box
@@ -58,14 +114,34 @@ class OptimizedPotential:
 
             self._step = step
 
+    @property
+    def stale(self) -> bool:
+        """True if skin reuse may have missed neighbor pairs since the last
+        reset (displacement > skin/2 between rebuilds, or capacity
+        overflow).  Fetches one scalar (one round trip)."""
+        return bool(np.asarray(self._stale))
+
+    def reset_stale(self):
+        self._stale = jnp.zeros((), bool)
+
     def __call__(self, pos):
         pos = jnp.asarray(pos, self._template.pos.dtype).reshape(
             self._template.pos.shape
         )
-        if self.split:
+        if not self.split:
+            return self._step(self.params, pos)
+        if self.skin <= 0.0:
             nbl = self._nbl_fn(pos)
             return self._step(self.params, pos, nbl)
-        return self._step(self.params, pos)
+        if self._nbl is None or self._calls_since_rebuild >= self.rebuild_every:
+            self._nbl = self._nbl_fn(pos)
+            self._ref_pos = pos
+            self._calls_since_rebuild = 0
+        y, neg_dy, self._stale = self._refine_step(
+            self.params, pos, self._ref_pos, self._nbl, self._stale
+        )
+        self._calls_since_rebuild += 1
+        return y, neg_dy
 
 
 def optimize(
@@ -73,6 +149,8 @@ def optimize(
     params,
     example: AtomicBatch,
     box: Optional[jnp.ndarray] = None,
+    skin: float = 0.0,
+    rebuild_every: int = 20,
 ) -> OptimizedPotential:
     """Return a latency-optimized evaluator bound to ``example``'s shapes.
 
@@ -81,4 +159,6 @@ def optimize(
     kernel fusion that NNPOps hand-wrote.
     """
     model.derivative = True
-    return OptimizedPotential(model, params, example, box=box)
+    return OptimizedPotential(
+        model, params, example, box=box, skin=skin, rebuild_every=rebuild_every
+    )

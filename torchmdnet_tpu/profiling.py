@@ -76,6 +76,53 @@ def benchmark(fn: Callable, *args, warmup: int = 3, iters: int = 30) -> Dict[str
     }
 
 
+def device_ms_per_iter(
+    step_fn: Callable,
+    init_carry,
+    k_lo: int = 2,
+    k_hi: int = 22,
+    reps: int = 3,
+):
+    """Scan-differenced pure device time per iteration of ``step_fn``.
+
+    The ONLY sound sub-100ms methodology on a lazy high-RTT platform: run K
+    iterations inside one jitted lax.scan whose carry chains each iteration's
+    output into the next input (multiplied by the runtime-zero ``eps`` so
+    XLA can neither fold nor DCE the chain), fetch one scalar, and difference
+    two K values so dispatch+fetch overhead cancels.
+
+    step_fn(carry, eps) -> carry.  IMPORTANT: the carry chain must consume
+    every output you intend to measure — XLA dead-code-eliminates anything
+    the chain doesn't depend on (e.g. summing only a neighbor list's
+    n_neighbors silently drops the whole top-k compaction).
+    """
+    import time
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("k",))
+    def loop(carry, eps, k):
+        carry, _ = jax.lax.scan(
+            lambda c, _: (step_fn(c, eps), None), carry, None, length=k
+        )
+        return jax.tree_util.tree_leaves(carry)[0].ravel()[0]
+
+    eps = jnp.float32(0.0)
+    float(np.asarray(loop(init_carry, eps, k_lo)))  # compile both
+    float(np.asarray(loop(init_carry, eps, k_hi)))
+
+    def best(k):
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(loop(init_carry, eps, k)))
+            vals.append(time.perf_counter() - t0)
+        return min(vals)
+
+    return (best(k_hi) - best(k_lo)) / (k_hi - k_lo) * 1e3
+
+
 def benchmark_pipelined(fn: Callable, *args, warmup: int = 3, iters: int = 30):
     """Throughput timing: enqueue all iterations, then force every output.
 

@@ -30,6 +30,14 @@ def _dense(prefix, sd, bias=True):
     return out
 
 
+def _perm_cols(dense, perm):
+    """Permute a dense layer's output columns (kernel cols + bias)."""
+    out = {"kernel": dense["kernel"][:, perm]}
+    if "bias" in dense:
+        out["bias"] = dense["bias"][perm]
+    return out
+
+
 def _rbf(prefix, sd, trainable):
     if not trainable:
         return None
@@ -88,6 +96,15 @@ def import_representation(args: Dict[str, Any], sd: Dict[str, np.ndarray]):
                 "Dense_1": _dense(f"{lp}.k_proj", sd),
                 "Dense_2": _dense(f"{lp}.v_proj", sd),
             }
+            if model == "equivariant-transformer":
+                # reference splits v/dv per head; this framework in global
+                # thirds — permute the columns (models/et.py:vproj_column_perm)
+                from torchmdnet_tpu.models.et import vproj_column_perm
+
+                vperm = vproj_column_perm(
+                    args["embedding_dimension"], args.get("num_heads", 8)
+                )
+                layer["Dense_2"] = _perm_cols(layer["Dense_2"], vperm)
             nxt = 3
             if model == "equivariant-transformer":
                 layer[f"Dense_{nxt}"] = _dense(f"{lp}.vec_proj", sd, bias=False)
@@ -96,7 +113,10 @@ def import_representation(args: Dict[str, Any], sd: Dict[str, np.ndarray]):
                 layer[f"Dense_{nxt}"] = _dense(f"{lp}.dk_proj", sd)
                 nxt += 1
             if di in ("values", "both"):
-                layer[f"Dense_{nxt}"] = _dense(f"{lp}.dv_proj", sd)
+                dv = _dense(f"{lp}.dv_proj", sd)
+                if model == "equivariant-transformer":
+                    dv = _perm_cols(dv, vperm)
+                layer[f"Dense_{nxt}"] = dv
                 nxt += 1
             layer[f"Dense_{nxt}"] = _dense(f"{lp}.o_proj", sd)
             out[f"{layer_cls}_{i}"] = layer
@@ -144,12 +164,18 @@ def import_representation(args: Dict[str, Any], sd: Dict[str, np.ndarray]):
             rbf_cls = "ExpNormalSmearing_0" if args["rbf_type"] == "expnorm" else "GaussianSmearing_0"
             out[rbf_cls] = rbf
         out["TensorEmbedding_0"] = emb
+        from torchmdnet_tpu.models.tensornet import wproj_column_perm
+
+        wperm = wproj_column_perm(args["embedding_dimension"])
         for i in range(num_layers):
             lp = f"{p}.layers.{i}"
             out[f"Interaction_{i}"] = {
                 "Dense_0": _dense(f"{lp}.linears_scalar.0", sd),
                 "Dense_1": _dense(f"{lp}.linears_scalar.1", sd),
-                "Dense_2": _dense(f"{lp}.linears_scalar.2", sd),
+                # reference packs the 3H filter (H, 3)-interleaved; this
+                # framework slices contiguous thirds (tensornet.py:
+                # wproj_column_perm)
+                "Dense_2": _perm_cols(_dense(f"{lp}.linears_scalar.2", sd), wperm),
                 "Dense_3": _dense(f"{lp}.linears_tensor.0", sd, bias=False),
                 "Dense_4": _dense(f"{lp}.linears_tensor.1", sd, bias=False),
                 "Dense_5": _dense(f"{lp}.linears_tensor.2", sd, bias=False),
