@@ -152,3 +152,31 @@ def test_checkpoint_roundtrip(tmp_path):
     model2, params2 = load_model(str(path))
     y1, _ = model2.apply(params2, batch)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
+
+
+def test_remat_matches_no_remat():
+    """remat=True must be numerically identical (same param tree, same
+    outputs/forces) — it only changes what the backward stores."""
+    import jax
+    import numpy as np
+
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+    from utils import load_example_args, random_molecule
+
+    mol = random_molecule(10, seed=3, scale=1.2)
+    batch = pad_molecules([mol], num_atoms=16, num_mol=1)
+    for name in ["graph-network", "equivariant-transformer", "tensornet"]:
+        args = load_example_args(
+            name, num_layers=2, embedding_dimension=32, num_rbf=8,
+            derivative=True,
+        )
+        m0 = create_model(dict(args, remat=False))
+        m1 = create_model(dict(args, remat=True))
+        p = m0.init(jax.random.PRNGKey(0), batch)
+        y0, f0 = m0.energy_and_forces(p, batch)
+        y1, f1 = m1.energy_and_forces(p, batch)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7
+        )

@@ -74,6 +74,7 @@ class Simulation:
         neighbor_skin: float = 0.0,
         rebuild_every: int = 20,
         neighbor_strategy: str = "auto",
+        neighbor_kwargs: Optional[dict] = None,
     ):
         self.model = model
         self.params = params
@@ -137,6 +138,7 @@ class Simulation:
                     box=box,
                     skin=self.skin,
                     strategy=neighbor_strategy,
+                    **(neighbor_kwargs or {}),
                 )
                 _, f = forces(pos, nbl.refine(pos, lo, hi, box))
                 pos0 = pos

@@ -163,6 +163,7 @@ class TorchMD_ET(nn.Module):
     cutoff_upper: float = 5.0
     max_z: int = 100
     max_num_neighbors: int = 32
+    remat: bool = False  # see graph_network.TorchMD_GN.remat
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -201,19 +202,29 @@ class TorchMD_ET(nn.Module):
         edge_dir = tuple(comp * inv_dist for comp in delta)
 
         if self.neighbor_embedding:
-            x = NeighborEmbedding(
+            ne_cls = (
+                nn.remat(NeighborEmbedding) if self.remat else NeighborEmbedding
+            )
+            x = ne_cls(
                 self.hidden_channels,
                 self.num_rbf,
                 self.cutoff_lower,
                 self.cutoff_upper,
                 self.max_z,
                 dtype=self.dtype,
+                name="NeighborEmbedding_0",
             )(z, x, nbl, dist, edge_attr)
 
         vec = jnp.zeros((x.shape[0], 3, self.hidden_channels), dtype=x.dtype)
 
-        for _ in range(self.num_layers):
-            dx, dvec = EquivariantMultiHeadAttention(
+        layer_cls = (
+            nn.remat(EquivariantMultiHeadAttention)
+            if self.remat
+            else EquivariantMultiHeadAttention
+        )
+        for li in range(self.num_layers):
+            # explicit name keeps the param tree identical with/without remat
+            dx, dvec = layer_cls(
                 self.hidden_channels,
                 self.num_rbf,
                 self.distance_influence,
@@ -223,6 +234,7 @@ class TorchMD_ET(nn.Module):
                 self.cutoff_lower,
                 self.cutoff_upper,
                 dtype=self.dtype,
+                name=f"EquivariantMultiHeadAttention_{li}",
             )(x, vec, nbl, dist, edge_attr, edge_dir)
             x = x + dx
             vec = vec + dvec

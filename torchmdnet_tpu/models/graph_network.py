@@ -112,6 +112,11 @@ class TorchMD_GN(nn.Module):
     max_z: int = 100
     max_num_neighbors: int = 32
     aggr: str = "add"
+    # rematerialize each interaction layer in the backward pass: O(1)-layer
+    # residual memory instead of O(layers) (N, K, F) tensors — required for
+    # force evaluation on 30k-atom systems (an STMV force pass stores ~44 GB
+    # of residuals otherwise), ~20-30% extra backward compute.
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -142,17 +147,23 @@ class TorchMD_GN(nn.Module):
         )(dist)
 
         if self.neighbor_embedding:
-            x = NeighborEmbedding(
+            ne_cls = (
+                nn.remat(NeighborEmbedding) if self.remat else NeighborEmbedding
+            )
+            x = ne_cls(
                 self.hidden_channels,
                 self.num_rbf,
                 self.cutoff_lower,
                 self.cutoff_upper,
                 self.max_z,
                 dtype=self.dtype,
+                name="NeighborEmbedding_0",
             )(z, x, nbl, dist, edge_attr)
 
-        for _ in range(self.num_layers):
-            x = x + InteractionBlock(
+        block_cls = nn.remat(InteractionBlock) if self.remat else InteractionBlock
+        for li in range(self.num_layers):
+            # explicit name keeps the param tree identical with/without remat
+            x = x + block_cls(
                 self.hidden_channels,
                 self.num_rbf,
                 self.num_filters,
@@ -161,6 +172,7 @@ class TorchMD_GN(nn.Module):
                 self.cutoff_upper,
                 aggr=self.aggr,
                 dtype=self.dtype,
+                name=f"InteractionBlock_{li}",
             )(x, nbl, dist, edge_attr)
 
         return x, None

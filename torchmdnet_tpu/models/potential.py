@@ -123,6 +123,7 @@ class Potential:
         strategy: str = "auto",
         skin: float = 0.0,
         k: Optional[int] = None,
+        **cell_kwargs,
     ):
         """Build the representation's neighbor list as a standalone (jitted)
         step.
@@ -169,6 +170,7 @@ class Potential:
             loop=loop,
             box=box,
             strategy=strategy,
+            **cell_kwargs,
         )
 
 
@@ -184,6 +186,7 @@ def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
         cutoff_upper=args["cutoff_upper"],
         max_z=args["max_z"],
         max_num_neighbors=args["max_num_neighbors"],
+        remat=args.get("remat", False),
         dtype=dtype,
     )
     name = args["model"]

@@ -310,12 +310,13 @@ class Interaction(nn.Module):
         )  # (N, 9H); s22 is derived (traceless)
         cat_j = ell_gather(cat, nbl.idx)  # (N, K, 9H)
         w_i, w_a, w_s = jnp.split(w, 3, axis=-1)  # (N, K, H) each
-        wcat = jnp.concatenate(
-            [w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s], axis=-1
-        )
-        sums = (cat_j * wcat).sum(axis=1)  # (N, 9H)
-        m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = jnp.split(
-            sums, 9, axis=-1
+        # per-block multiply+reduce (slices are views; the products fuse into
+        # the K reduction) — a concatenated 9H-wide multiplier would
+        # materialize an extra ~(N, K, 9H) tensor
+        wb = (w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s)
+        m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
+            (cat_j[:, :, i * h : (i + 1) * h] * wb[i]).sum(axis=1)
+            for i in range(9)
         )
         msg = t9_from_irreps(
             m_l,
@@ -359,6 +360,7 @@ class TensorNet(nn.Module):
     max_num_neighbors: int = 64
     max_z: int = 128
     equivariance_invariance_group: str = "O(3)"
+    remat: bool = False  # see graph_network.TorchMD_GN.remat
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -401,8 +403,10 @@ class TensorNet(nn.Module):
             dtype=self.dtype,
         )(z, nbl, dist, edge_dir, edge_attr)
 
-        for _ in range(self.num_layers):
-            x = Interaction(
+        layer_cls = nn.remat(Interaction) if self.remat else Interaction
+        for li in range(self.num_layers):
+            # explicit name keeps the param tree identical with/without remat
+            x = layer_cls(
                 self.num_rbf,
                 self.hidden_channels,
                 self.activation,
@@ -410,6 +414,7 @@ class TensorNet(nn.Module):
                 self.cutoff_upper,
                 self.equivariance_invariance_group,
                 dtype=self.dtype,
+                name=f"Interaction_{li}",
             )(x, nbl, dist, edge_attr)
 
         lam, a_p, s_p = t9_decompose(x)

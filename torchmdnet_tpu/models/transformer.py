@@ -101,6 +101,7 @@ class TorchMD_T(nn.Module):
     cutoff_upper: float = 5.0
     max_z: int = 100
     max_num_neighbors: int = 32
+    remat: bool = False  # see graph_network.TorchMD_GN.remat
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -132,17 +133,23 @@ class TorchMD_T(nn.Module):
         )(dist)
 
         if self.neighbor_embedding:
-            x = NeighborEmbedding(
+            ne_cls = (
+                nn.remat(NeighborEmbedding) if self.remat else NeighborEmbedding
+            )
+            x = ne_cls(
                 self.hidden_channels,
                 self.num_rbf,
                 self.cutoff_lower,
                 self.cutoff_upper,
                 self.max_z,
                 dtype=self.dtype,
+                name="NeighborEmbedding_0",
             )(z, x, nbl, dist, edge_attr)
 
-        for _ in range(self.num_layers):
-            x = x + MultiHeadAttention(
+        layer_cls = nn.remat(MultiHeadAttention) if self.remat else MultiHeadAttention
+        for li in range(self.num_layers):
+            # explicit name keeps the param tree identical with/without remat
+            x = x + layer_cls(
                 self.hidden_channels,
                 self.num_rbf,
                 self.distance_influence,
@@ -152,6 +159,7 @@ class TorchMD_T(nn.Module):
                 self.cutoff_lower,
                 self.cutoff_upper,
                 dtype=self.dtype,
+                name=f"MultiHeadAttention_{li}",
             )(x, nbl, dist, edge_attr)
         x = LayerNorm(dtype=self.dtype)(x)
 

@@ -358,6 +358,7 @@ def neighbor_list(
     loop: bool = False,
     box: Optional[jnp.ndarray] = None,
     strategy: str = "auto",
+    **cell_kwargs,
 ) -> NeighborList:
     """Build a static-shape ELL neighbor list with an O(N^2) masked search.
 
@@ -396,6 +397,7 @@ def neighbor_list(
             cutoff_upper=cutoff_upper,
             loop=loop,
             box=box,
+            **cell_kwargs,
         )
     if strategy == "brute-pallas":
         # fused Pallas streaming-compaction kernel (no PBC); semantics match

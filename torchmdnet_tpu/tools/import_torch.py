@@ -248,3 +248,17 @@ def load_torch_checkpoint(filepath, args=None):
         args = dict(ckpt["hyper_parameters"])
     params = import_state_dict(args, ckpt["state_dict"])
     return args, params
+
+
+def import_checkpoint(filepath, **kwargs):
+    """Reference .ckpt -> (Potential, flax params), ready for apply.
+
+    kwargs override the checkpoint's hyperparameters (e.g. derivative=True),
+    mirroring reference load_model (model.py:121-143).
+    """
+    from torchmdnet_tpu.models.potential import create_model
+
+    args, params = load_torch_checkpoint(filepath)
+    args.update(kwargs)
+    model = create_model(args)
+    return model, params
