@@ -129,48 +129,48 @@ class Simulation:
             )
             return MDState(pos=pos, vel=vel, key=key, energy=ys[-1], stale=state.stale)
 
-        @partial(jax.jit, static_argnames=("n_chunks", "chunk"), donate_argnums=(0,))
-        def run_skin(state, n_chunks, chunk):
-            def outer(carry, _):
-                pos, vel, key, stale = carry
-                nbl = model.neighbors(
-                    batch.replace(pos=pos),
-                    box=box,
-                    skin=self.skin,
-                    strategy=neighbor_strategy,
-                    **(neighbor_kwargs or {}),
-                )
-                _, f = forces(pos, nbl.refine(pos, lo, hi, box))
-                pos0 = pos
-
-                def inner(c, _):
-                    (p, v, fc, k), y = one_step(c, nbl)
-                    d2 = jnp.where(
-                        batch.atom_mask, jnp.sum((p - pos0) ** 2, axis=-1), 0.0
-                    )
-                    return (p, v, fc, k), (y, jnp.max(d2))
-
-                (pos, vel, f, key), (ys, d2s) = jax.lax.scan(
-                    inner, (pos, vel, f, key), None, length=chunk
-                )
-                bad = (jnp.max(d2s) > (0.5 * self.skin) ** 2) | nbl.overflow()
-                if nbl.cell_overflow is not None:
-                    bad = bad | nbl.cell_overflow
-                return (pos, vel, key, stale | bad), ys
-
-            stale0 = (
-                jnp.zeros((), bool) if state.stale is None else state.stale
+        # The skin path runs as TWO small cached executables per chunk —
+        # neighbor rebuild, then a chunk-long scan taking the frozen list as
+        # input — instead of one giant program.  Both are dispatched from the
+        # host with no fetches (dispatch is async and cheap; a single fused
+        # rebuild+scan program at 30k atoms compiles slowly and memory-
+        # thrashes: 3.1 s/step fused vs ~0.35 s/step split, PERF.md).
+        @jax.jit
+        def build_nbl(pos):
+            return model.neighbors(
+                batch.replace(pos=pos),
+                box=box,
+                skin=self.skin,
+                strategy=neighbor_strategy,
+                **(neighbor_kwargs or {}),
             )
-            (pos, vel, key, stale), ys = jax.lax.scan(
-                outer, (state.pos, state.vel, state.key, stale0), None,
-                length=n_chunks,
+
+        @partial(jax.jit, static_argnames=("chunk",), donate_argnums=(0,))
+        def run_chunk(state, nbl, chunk):
+            pos0 = state.pos  # rebuild reference (the list was built here)
+            _, f = forces(state.pos, nbl.refine(state.pos, lo, hi, box))
+
+            def inner(c, _):
+                (p, v, fc, k), y = one_step(c, nbl)
+                d2 = jnp.where(
+                    batch.atom_mask, jnp.sum((p - pos0) ** 2, axis=-1), 0.0
+                )
+                return (p, v, fc, k), (y, jnp.max(d2))
+
+            (pos, vel, f, key), (ys, d2s) = jax.lax.scan(
+                inner, (state.pos, state.vel, f, state.key), None, length=chunk
             )
+            bad = (jnp.max(d2s) > (0.5 * self.skin) ** 2) | nbl.overflow()
+            if nbl.cell_overflow is not None:
+                bad = bad | nbl.cell_overflow
+            stale0 = jnp.zeros((), bool) if state.stale is None else state.stale
             return MDState(
-                pos=pos, vel=vel, key=key, energy=ys[-1, -1], stale=stale
+                pos=pos, vel=vel, key=key, energy=ys[-1], stale=stale0 | bad
             )
 
         self._run = run
-        self._run_skin = run_skin
+        self._build_nbl = build_nbl
+        self._run_chunk = run_chunk
         self.state = MDState(
             pos=batch.pos,
             vel=jnp.zeros_like(batch.pos),
@@ -200,9 +200,12 @@ class Simulation:
         if self.skin > 0.0 and n >= self.rebuild_every:
             chunk = self.rebuild_every
             n_chunks, rem = divmod(n, chunk)
-            self.state = self._run_skin(self.state, n_chunks, chunk)
+            for _ in range(n_chunks):
+                nbl = self._build_nbl(self.state.pos)
+                self.state = self._run_chunk(self.state, nbl, chunk)
             if rem:
-                self.state = self._run_skin(self.state, 1, rem)
+                nbl = self._build_nbl(self.state.pos)
+                self.state = self._run_chunk(self.state, nbl, rem)
         else:
             self.state = self._run(self.state, n)
         return self.state
