@@ -83,9 +83,15 @@ class EquivariantMultiHeadAttention(nn.Module):
         k = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
         v = XavierDense(3 * h, dtype=self.dtype)(x)  # (N, 3H)
 
-        vec123 = XavierDense(3 * h, use_bias=False, dtype=self.dtype)(vec)
-        vec1, vec2, vec3 = jnp.split(vec123, 3, axis=-1)  # each (N, 3, H)
-        vec_dot = (vec1 * vec2).sum(axis=1)  # (N, H)
+        # vec is a tuple of three (N, H) xyz components (no (N, 3, H) tensor
+        # anywhere: its 3-wide sublane axis pads 2.7x and every relayout
+        # costs); ONE shared projection module applied per component.
+        vec_proj = XavierDense(3 * h, use_bias=False, dtype=self.dtype)
+        vec123 = tuple(vec_proj(vc) for vc in vec)  # 3 x (N, 3H)
+        vec1 = tuple(vc[:, :h] for vc in vec123)
+        vec2 = tuple(vc[:, h : 2 * h] for vc in vec123)
+        vec3 = tuple(vc[:, 2 * h :] for vc in vec123)
+        vec_dot = sum(v1 * v2 for v1, v2 in zip(vec1, vec2))  # (N, H)
 
         # TPU layout note: every per-edge tensor stays (..., H) with the full
         # H=128 channels on the lane axis.  A (N, K, heads, hd=16) layout pads
@@ -126,23 +132,25 @@ class EquivariantMultiHeadAttention(nn.Module):
 
         # Vector messages, built per xyz component so the small (N, K) edge
         # directions broadcast straight into the wide H-trailing tensors
-        # (no (N, K, 3) lane-padded intermediate).
+        # (no (N, K, 3) lane-padded intermediate).  NOTE: fusing the three
+        # component gathers into one (N, 3H) gather was measured SLOWER
+        # (the (N, 3, H) -> (N, 3H) relayout in the autodiff path costs more
+        # than the saved gather rows) — keep per-component gathers.
         mask3 = nbl.mask[:, :, None]
-        vec_agg_comps = []
+        vec_agg = []
         for c in range(3):
-            vec_j_c = ell_gather(vec[:, c], nbl.idx)  # (N, K, H)
+            vec_j_c = ell_gather(vec[c], nbl.idx)  # (N, K, H)
             msg_c = vec_j_c * vw1 + vw2 * edge_dir[c][..., None]
             msg_c = jnp.where(mask3, msg_c, 0.0)
-            vec_agg_comps.append(msg_c.sum(axis=1))
+            vec_agg.append(msg_c.sum(axis=1))
 
         # --- aggregate over neighbor slots (scatter-add analog) ---
         x_agg = x_msg.sum(axis=1)
-        vec_agg = jnp.stack(vec_agg_comps, axis=1)  # (N, 3, H)
 
         # --- node update (torchmd_et.py:309-312) ---
         o1, o2, o3 = jnp.split(XavierDense(3 * h, dtype=self.dtype)(x_agg), 3, axis=-1)
         dx = vec_dot * o2 + o3
-        dvec = vec3 * o1[:, None, :] + vec_agg
+        dvec = tuple(v3 * o1 + agg for v3, agg in zip(vec3, vec_agg))
         return dx, dvec
 
 
@@ -215,7 +223,8 @@ class TorchMD_ET(nn.Module):
                 name="NeighborEmbedding_0",
             )(z, x, nbl, dist, edge_attr)
 
-        vec = jnp.zeros((x.shape[0], 3, self.hidden_channels), dtype=x.dtype)
+        zero = jnp.zeros((x.shape[0], self.hidden_channels), dtype=x.dtype)
+        vec = (zero, zero, zero)  # xyz components, each (N, H)
 
         layer_cls = (
             nn.remat(EquivariantMultiHeadAttention)
@@ -237,7 +246,8 @@ class TorchMD_ET(nn.Module):
                 name=f"EquivariantMultiHeadAttention_{li}",
             )(x, vec, nbl, dist, edge_attr, edge_dir)
             x = x + dx
-            vec = vec + dvec
+            vec = tuple(vc + dc for vc, dc in zip(vec, dvec))
         x = LayerNorm(dtype=self.dtype)(x)
 
-        return x, vec
+        # boundary conversion for output heads: (N, 3, H), once per forward
+        return x, jnp.stack(vec, axis=1)
