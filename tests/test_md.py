@@ -71,3 +71,46 @@ def test_langevin_thermostat_moves_atoms():
     assert not np.allclose(p0[mask], p1[mask])
     # padding atoms never move
     np.testing.assert_array_equal(p0[~mask], p1[~mask])
+
+
+def test_md_periodic_box_multi_molecule():
+    """Boxed, multi-molecule MD: atoms stay finite, padding atoms frozen,
+    and the skin path agrees with per-step rebuilds under PBC."""
+    import jax.numpy as jnp
+
+    args = load_example_args(
+        "graph-network", num_layers=1, embedding_dimension=16, num_rbf=8,
+        derivative=True, cutoff_upper=3.0,
+    )
+    model = create_model(args)
+    rng = np.random.default_rng(7)
+    mols = []
+    for _ in range(2):
+        mols.append(
+            {
+                "z": rng.integers(1, 9, 8).astype(np.int32),
+                "pos": (8.0 * rng.random((8, 3))).astype(np.float32),
+            }
+        )
+    batch = pad_molecules(mols, num_atoms=24, num_mol=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    box = jnp.diag(jnp.asarray([8.0, 8.0, 8.0], jnp.float32))
+
+    sim_ref = Simulation(model, params, batch, timestep_fs=0.2, box=box)
+    sim_skin = Simulation(
+        model, params, batch, timestep_fs=0.2, box=box,
+        neighbor_skin=1.0, rebuild_every=5,
+    )
+    sim_ref.set_velocities_from_temperature(50.0)
+    sim_skin.set_velocities_from_temperature(50.0)
+    sim_ref.step(10)
+    sim_skin.step(10)
+    assert np.isfinite(np.asarray(sim_ref.state.pos)).all()
+    np.testing.assert_allclose(
+        np.asarray(sim_skin.state.pos), np.asarray(sim_ref.state.pos),
+        rtol=1e-5, atol=1e-6,
+    )
+    mask = np.asarray(batch.atom_mask)
+    np.testing.assert_array_equal(
+        np.asarray(sim_ref.state.pos)[~mask], np.asarray(batch.pos)[~mask]
+    )

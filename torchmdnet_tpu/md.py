@@ -172,7 +172,9 @@ class Simulation:
         self._build_nbl = build_nbl
         self._run_chunk = run_chunk
         self.state = MDState(
-            pos=batch.pos,
+            # own a private copy: step() donates state buffers, and the
+            # caller's batch.pos must survive (it is also the template)
+            pos=jnp.array(batch.pos, copy=True),
             vel=jnp.zeros_like(batch.pos),
             key=jax.random.PRNGKey(seed),
             energy=jnp.zeros((batch.num_mol, 1), batch.pos.dtype),
