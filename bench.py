@@ -80,7 +80,10 @@ def main():
         cutoff_lower=0.0,
         cutoff_upper=5.0,
         max_z=100,
-        max_num_neighbors=80,
+        # the reference benchmark's exact value (graph_network.ipynb config
+        # cell): PyG radius_graph TRUNCATES to 32 neighbors/atom, and the ELL
+        # top-k keeps the same leading-32 semantics, so the work matches.
+        max_num_neighbors=32,
         derivative=False,
         output_model="Scalar",
         prior_model=None,
