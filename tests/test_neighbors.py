@@ -267,3 +267,16 @@ def test_ell_gather_unmasked_slots_grads():
         np.asarray(jax.grad(f_plain)(x0)),
         atol=1e-12,
     )
+
+
+def test_raise_on_overflow():
+    from torchmdnet_tpu.ops.neighbors import neighbor_list
+    import pytest
+
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(rng.standard_normal((32, 3)) * 1.0, jnp.float64)
+    nbl = neighbor_list(pos0, k=4, cutoff_upper=5.0)  # far too small k
+    with pytest.raises(ValueError, match="max_num_neighbors"):
+        nbl.raise_on_overflow()
+    ok = neighbor_list(pos0, k=32, cutoff_upper=5.0)
+    ok.raise_on_overflow()  # no error

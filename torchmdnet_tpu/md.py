@@ -171,6 +171,11 @@ class Simulation:
         self._run = run
         self._build_nbl = build_nbl
         self._run_chunk = run_chunk
+        # loud setup check (reference Distance assert / check_errors):
+        # silently truncated neighbor lists would produce wrong forces
+        model.neighbors(
+            batch, box=box, skin=self.skin, **(neighbor_kwargs or {})
+        ).raise_on_overflow("the initial MD configuration")
         self.state = MDState(
             # own a private copy: step() donates state buffers, and the
             # caller's batch.pos must survive (it is also the template)

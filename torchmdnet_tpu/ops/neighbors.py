@@ -92,6 +92,34 @@ class NeighborList:
         k_real = self.k - (1 if self.self_loops else 0)
         return jnp.any(self.n_neighbors > k_real)
 
+    def raise_on_overflow(self, context: str = ""):
+        """Host-side loud failure when the list is incomplete.
+
+        The reference hard-errors when max_num_neighbors is exceeded
+        (Distance assert, utils.py:419-424 / check_errors, utils.py:251-257);
+        silently truncated neighbor lists produce WRONG physics.  Call this
+        outside jit wherever a fetch is affordable (training setup, MD
+        setup); fetches up to two scalars.
+        """
+        import numpy as np
+
+        if bool(np.asarray(self.overflow())):
+            k_real = self.k - (1 if self.self_loops else 0)
+            raise ValueError(
+                f"Neighbor capacity exceeded{' in ' + context if context else ''}: "
+                f"an atom has more than max_num_neighbors={k_real} neighbors "
+                f"within the cutoff (true max: "
+                f"{int(np.asarray(self.n_neighbors.max()))}). Increase "
+                f"max_num_neighbors."
+            )
+        if self.cell_overflow is not None and bool(np.asarray(self.cell_overflow)):
+            raise ValueError(
+                f"Cell-list capacity exceeded{' in ' + context if context else ''}: "
+                "raise cell_capacity / max_cells / max_dense_cells, or use "
+                "strategy='brute' or the hash fallback."
+            )
+        return self
+
     def refine(
         self,
         pos,

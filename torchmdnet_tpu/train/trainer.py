@@ -186,6 +186,9 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
 
         batch0 = next(iter(train_loader))
+        # loud config check (reference Distance assert): a too-small
+        # max_num_neighbors silently truncates neighbor lists otherwise
+        self.model.neighbors(batch0).raise_on_overflow("the first training batch")
         params = self.model.init(jax.random.PRNGKey(h.get("seed", 1)), batch0)
         opt_state = self.optimizer.init(params)
         state = TrainerState(params=params, opt_state=opt_state, lr=h.get("lr", 1e-4))
