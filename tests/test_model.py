@@ -180,3 +180,28 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(
             np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-7
         )
+
+
+def test_bf16_messages_close_to_f32():
+    """bf16_messages only quantizes the message gather/product (f32
+    accumulation), so outputs and forces must track the f32 model to
+    bf16-roundoff tolerance, with the identical param tree."""
+    mol = random_molecule(12, seed=5, scale=1.2)
+    batch = pad_molecules([mol], num_atoms=16, num_mol=1)
+    args = load_example_args(
+        "tensornet", num_layers=2, embedding_dimension=32, num_rbf=8,
+        derivative=True,
+    )
+    m0 = create_model(dict(args, bf16_messages=False))
+    m1 = create_model(dict(args, bf16_messages=True))
+    p = m0.init(jax.random.PRNGKey(0), batch)
+    y0, f0 = m0.energy_and_forces(p, batch)
+    y1, f1 = m1.energy_and_forces(p, batch)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), batch)
+    )
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-2, atol=2e-2)
+    scale = np.abs(np.asarray(f0)).max()
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f0), atol=5e-2 * max(scale, 1.0)
+    )

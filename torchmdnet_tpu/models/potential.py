@@ -218,6 +218,7 @@ def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
             equivariance_invariance_group=args.get(
                 "equivariance_invariance_group", "O(3)"
             ),
+            bf16_messages=args.get("bf16_messages", False),
             **shared,
         )
     raise ValueError(f"Unknown architecture: {name}")

@@ -277,6 +277,7 @@ class Interaction(nn.Module):
     cutoff_lower: float
     cutoff_upper: float
     equivariance_invariance_group: str
+    bf16_messages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -308,14 +309,22 @@ class Interaction(nn.Module):
         cat = jnp.concatenate(
             [lam, *a_p, s_p[0], s_p[1], s_p[3], s_p[4], s_p[5]], axis=-1
         )  # (N, 9H); s22 is derived (traceless)
-        cat_j = ell_gather(cat, nbl.idx)  # (N, K, 9H)
-        w_i, w_a, w_s = jnp.split(w, 3, axis=-1)  # (N, K, H) each
+        # bf16_messages: the (N, K, 9H) gather + product is HBM-traffic-bound;
+        # quantizing the gathered rows and the per-edge weights to bf16 while
+        # accumulating the K reduction in f32 measured 1.67x on this op
+        # (benchmarks/exp_tn_msg.py) with no change to the aggregation math.
+        mp_dtype = jnp.bfloat16 if self.bf16_messages else cat.dtype
+        acc_dtype = cat.dtype
+        cat_j = ell_gather(cat.astype(mp_dtype), nbl.idx)  # (N, K, 9H)
+        w_i, w_a, w_s = jnp.split(w.astype(mp_dtype), 3, axis=-1)
         # per-block multiply+reduce (slices are views; the products fuse into
         # the K reduction) — a concatenated 9H-wide multiplier would
         # materialize an extra ~(N, K, 9H) tensor
         wb = (w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s)
         m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
-            (cat_j[:, :, i * h : (i + 1) * h] * wb[i]).sum(axis=1)
+            (cat_j[:, :, i * h : (i + 1) * h] * wb[i]).sum(
+                axis=1, dtype=acc_dtype
+            )
             for i in range(9)
         )
         msg = t9_from_irreps(
@@ -361,6 +370,7 @@ class TensorNet(nn.Module):
     max_z: int = 128
     equivariance_invariance_group: str = "O(3)"
     remat: bool = False  # see graph_network.TorchMD_GN.remat
+    bf16_messages: bool = False  # bf16 message gather/product, f32 accumulate
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -413,6 +423,7 @@ class TensorNet(nn.Module):
                 self.cutoff_lower,
                 self.cutoff_upper,
                 self.equivariance_invariance_group,
+                bf16_messages=self.bf16_messages,
                 dtype=self.dtype,
                 name=f"Interaction_{li}",
             )(x, nbl, dist, edge_attr)

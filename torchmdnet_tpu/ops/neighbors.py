@@ -206,7 +206,11 @@ def ell_transpose_sum(g, idx):
     n, k = idx.shape
     perm = _transpose_perm(idx)
     g2 = g.reshape(n * k, -1)[perm]
-    return g2.reshape(n, k, -1).sum(axis=1).reshape((n,) + g.shape[2:])
+    # Low-precision inputs (bf16 message mode) still accumulate the K-axis
+    # reduction in f32; XLA fuses the widen into the reduce so it is free.
+    acc = jnp.float32 if g.dtype in (jnp.bfloat16, jnp.float16) else g.dtype
+    out = g2.reshape(n, k, -1).sum(axis=1, dtype=acc).astype(g.dtype)
+    return out.reshape((n,) + g.shape[2:])
 
 
 def _ell_gather_fwd(x, idx):
