@@ -182,14 +182,15 @@ def test_remat_matches_no_remat():
         )
 
 
-def test_bf16_messages_close_to_f32():
-    """bf16_messages only quantizes the message gather/product (f32
+@pytest.mark.parametrize("model_name", MODELS)
+def test_bf16_messages_close_to_f32(model_name):
+    """bf16_messages only quantizes the edge intermediates (f32
     accumulation), so outputs and forces must track the f32 model to
     bf16-roundoff tolerance, with the identical param tree."""
     mol = random_molecule(12, seed=5, scale=1.2)
     batch = pad_molecules([mol], num_atoms=16, num_mol=1)
     args = load_example_args(
-        "tensornet", num_layers=2, embedding_dimension=32, num_rbf=8,
+        model_name, num_layers=2, embedding_dimension=32, num_rbf=8,
         derivative=True,
     )
     m0 = create_model(dict(args, bf16_messages=False))

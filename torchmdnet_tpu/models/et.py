@@ -67,6 +67,7 @@ class EquivariantMultiHeadAttention(nn.Module):
     attn_activation: str
     cutoff_lower: float
     cutoff_upper: float
+    bf16_messages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -77,6 +78,15 @@ class EquivariantMultiHeadAttention(nn.Module):
         hd = h // heads
         act = act_fn_mapping[self.activation]
         attn_act = act_fn_mapping[self.attn_activation]
+
+        # bf16_messages: all (N, K, ...) edge intermediates (distance filters,
+        # gathered rows, attention, messages) are HBM-traffic-bound, not
+        # compute-bound; run them in bf16 and accumulate every K-axis
+        # reduction in the full dtype (same recipe as tensornet.Interaction).
+        # Node-level (N, H) math stays in full precision.
+        mp_dtype = jnp.bfloat16 if self.bf16_messages else self.dtype
+        acc_dtype = x.dtype
+        ecast = (lambda t: t.astype(jnp.bfloat16)) if self.bf16_messages else (lambda t: t)
 
         x = LayerNorm(dtype=self.dtype)(x)
         q = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
@@ -100,30 +110,31 @@ class EquivariantMultiHeadAttention(nn.Module):
         # are instead ONE small matmul with a block-of-ones matrix: each lane
         # receives its own head's sum, already broadcast.
         ones_block = jnp.asarray(
-            np.kron(np.eye(heads), np.ones((hd, hd))), x.dtype
+            np.kron(np.eye(heads), np.ones((hd, hd))),
+            mp_dtype if mp_dtype is not None else x.dtype,
         )  # (H, H), 1 where both lanes belong to the same head
 
         # distance filters on edge RBFs, full width
         dk = None
         if self.distance_influence in ("keys", "both"):
-            dk = act(XavierDense(h, dtype=self.dtype)(edge_attr))  # (N, K, H)
+            dk = act(XavierDense(h, dtype=mp_dtype)(edge_attr))  # (N, K, H)
         dv = None
         if self.distance_influence in ("values", "both"):
-            dv = act(XavierDense(3 * h, dtype=self.dtype)(edge_attr))  # (N, K, 3H)
+            dv = act(XavierDense(3 * h, dtype=mp_dtype)(edge_attr))  # (N, K, 3H)
 
         # --- per-edge message (reference message(), torchmd_et.py:314-335) ---
-        k_j = ell_gather(k, nbl.idx)  # (N, K, H)
-        prod = q[:, None, :] * k_j
+        k_j = ell_gather(ecast(k), nbl.idx)  # (N, K, H)
+        prod = ecast(q)[:, None, :] * k_j
         if dk is not None:
             prod = prod * dk
         # per-head sum, broadcast back to the head's lanes, in one matmul
         attn = prod @ ones_block  # (N, K, H); lane l holds sum over l's head
-        attn = attn_act(attn) * cosine_cutoff(
-            dist, self.cutoff_lower, self.cutoff_upper
+        attn = attn_act(attn) * ecast(
+            cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = ell_gather(v, nbl.idx)  # (N, K, 3H)
+        v_j = ell_gather(ecast(v), nbl.idx)  # (N, K, 3H)
         if dv is not None:
             v_j = v_j * dv
         x_m, vw1, vw2 = jnp.split(v_j, 3, axis=-1)  # each (N, K, H)
@@ -139,13 +150,13 @@ class EquivariantMultiHeadAttention(nn.Module):
         mask3 = nbl.mask[:, :, None]
         vec_agg = []
         for c in range(3):
-            vec_j_c = ell_gather(vec[c], nbl.idx)  # (N, K, H)
-            msg_c = vec_j_c * vw1 + vw2 * edge_dir[c][..., None]
+            vec_j_c = ell_gather(ecast(vec[c]), nbl.idx)  # (N, K, H)
+            msg_c = vec_j_c * vw1 + vw2 * ecast(edge_dir[c])[..., None]
             msg_c = jnp.where(mask3, msg_c, 0.0)
-            vec_agg.append(msg_c.sum(axis=1))
+            vec_agg.append(msg_c.sum(axis=1, dtype=acc_dtype))
 
         # --- aggregate over neighbor slots (scatter-add analog) ---
-        x_agg = x_msg.sum(axis=1)
+        x_agg = x_msg.sum(axis=1, dtype=acc_dtype)
 
         # --- node update (torchmd_et.py:309-312) ---
         o1, o2, o3 = jnp.split(XavierDense(3 * h, dtype=self.dtype)(x_agg), 3, axis=-1)
@@ -172,6 +183,7 @@ class TorchMD_ET(nn.Module):
     max_z: int = 100
     max_num_neighbors: int = 32
     remat: bool = False  # see graph_network.TorchMD_GN.remat
+    bf16_messages: bool = False  # bf16 edge intermediates, f32 accumulation
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -242,6 +254,7 @@ class TorchMD_ET(nn.Module):
                 self.attn_activation,
                 self.cutoff_lower,
                 self.cutoff_upper,
+                bf16_messages=self.bf16_messages,
                 dtype=self.dtype,
                 name=f"EquivariantMultiHeadAttention_{li}",
             )(x, vec, nbl, dist, edge_attr, edge_dir)

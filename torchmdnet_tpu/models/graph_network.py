@@ -34,30 +34,36 @@ class CFConv(nn.Module):
     cutoff_upper: float
     activation: str
     aggr: str = "add"
+    bf16_messages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, nbl: NeighborList, dist, edge_attr):
         act = act_fn_mapping[self.activation]
+        # bf16 edge intermediates with f32 K-accumulation (see et.py)
+        mp_dtype = jnp.bfloat16 if self.bf16_messages else self.dtype
+        acc_dtype = x.dtype
+        ecast = (lambda t: t.astype(jnp.bfloat16)) if self.bf16_messages else (lambda t: t)
+
         c = cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
-        w = XavierDense(self.num_filters, dtype=self.dtype)(edge_attr)
+        w = XavierDense(self.num_filters, dtype=mp_dtype)(edge_attr)
         w = act(w)
-        w = XavierDense(self.num_filters, dtype=self.dtype)(w)
-        w = w * c[..., None]  # (N, K, F)
+        w = XavierDense(self.num_filters, dtype=mp_dtype)(w)
+        w = w * ecast(c)[..., None]  # (N, K, F)
 
         h = XavierDense(self.num_filters, use_bias=False, dtype=self.dtype)(x)
-        msg = ell_gather(h, nbl.idx) * w  # (N, K, F)
+        msg = ell_gather(ecast(h), nbl.idx) * w  # (N, K, F)
         if self.aggr == "add":
             msg = jnp.where(nbl.mask[..., None], msg, 0.0)
-            agg = msg.sum(axis=1)
+            agg = msg.sum(axis=1, dtype=acc_dtype)
         elif self.aggr == "mean":
             msg = jnp.where(nbl.mask[..., None], msg, 0.0)
             count = jnp.maximum(nbl.mask.sum(axis=1, keepdims=True), 1)
-            agg = msg.sum(axis=1) / count.astype(msg.dtype)
+            agg = msg.sum(axis=1, dtype=acc_dtype) / count.astype(acc_dtype)
         elif self.aggr == "max":
             neg_inf = jnp.asarray(-jnp.inf, dtype=msg.dtype)
             msg = jnp.where(nbl.mask[..., None], msg, neg_inf)
-            agg = msg.max(axis=1)
+            agg = msg.max(axis=1).astype(acc_dtype)
             # atoms with zero neighbors aggregate to 0, matching scatter-max's
             # default fill
             agg = jnp.where(nbl.mask.any(axis=1, keepdims=True), agg, 0.0)
@@ -76,6 +82,7 @@ class InteractionBlock(nn.Module):
     cutoff_lower: float
     cutoff_upper: float
     aggr: str = "add"
+    bf16_messages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,6 +96,7 @@ class InteractionBlock(nn.Module):
             self.cutoff_upper,
             self.activation,
             aggr=self.aggr,
+            bf16_messages=self.bf16_messages,
             dtype=self.dtype,
         )(x, nbl, dist, edge_attr)
         x = act(x)
@@ -117,6 +125,7 @@ class TorchMD_GN(nn.Module):
     # force evaluation on 30k-atom systems (an STMV force pass stores ~44 GB
     # of residuals otherwise), ~20-30% extra backward compute.
     remat: bool = False
+    bf16_messages: bool = False  # bf16 edge intermediates, f32 accumulation
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -171,6 +180,7 @@ class TorchMD_GN(nn.Module):
                 self.cutoff_lower,
                 self.cutoff_upper,
                 aggr=self.aggr,
+                bf16_messages=self.bf16_messages,
                 dtype=self.dtype,
                 name=f"InteractionBlock_{li}",
             )(x, nbl, dist, edge_attr)

@@ -187,6 +187,7 @@ def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
         max_z=args["max_z"],
         max_num_neighbors=args["max_num_neighbors"],
         remat=args.get("remat", False),
+        bf16_messages=args.get("bf16_messages", False),
         dtype=dtype,
     )
     name = args["model"]
@@ -218,7 +219,6 @@ def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
             equivariance_invariance_group=args.get(
                 "equivariance_invariance_group", "O(3)"
             ),
-            bf16_messages=args.get("bf16_messages", False),
             **shared,
         )
     raise ValueError(f"Unknown architecture: {name}")

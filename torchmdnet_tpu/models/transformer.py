@@ -36,6 +36,7 @@ class MultiHeadAttention(nn.Module):
     attn_activation: str
     cutoff_lower: float
     cutoff_upper: float
+    bf16_messages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -47,6 +48,11 @@ class MultiHeadAttention(nn.Module):
         act = act_fn_mapping[self.activation]
         attn_act = act_fn_mapping[self.attn_activation]
 
+        # bf16 edge intermediates with f32 K-accumulation (see et.py)
+        mp_dtype = jnp.bfloat16 if self.bf16_messages else self.dtype
+        acc_dtype = x.dtype
+        ecast = (lambda t: t.astype(jnp.bfloat16)) if self.bf16_messages else (lambda t: t)
+
         x = LayerNorm(dtype=self.dtype)(x)
         q = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
         k = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
@@ -56,31 +62,32 @@ class MultiHeadAttention(nn.Module):
         # attention sums via one block-of-ones matmul (see et.py for the
         # rationale — a (heads, hd=16)-trailing layout pads lanes 8x).
         ones_block = jnp.asarray(
-            np.kron(np.eye(heads), np.ones((hd, hd))), x.dtype
+            np.kron(np.eye(heads), np.ones((hd, hd))),
+            mp_dtype if mp_dtype is not None else x.dtype,
         )
 
         dk = None
         if self.distance_influence in ("keys", "both"):
-            dk = act(XavierDense(h, dtype=self.dtype)(edge_attr))  # (N, K, H)
+            dk = act(XavierDense(h, dtype=mp_dtype)(edge_attr))  # (N, K, H)
         dv = None
         if self.distance_influence in ("values", "both"):
-            dv = act(XavierDense(h, dtype=self.dtype)(edge_attr))  # (N, K, H)
+            dv = act(XavierDense(h, dtype=mp_dtype)(edge_attr))  # (N, K, H)
 
-        k_j = ell_gather(k, nbl.idx)
-        prod = q[:, None, :] * k_j
+        k_j = ell_gather(ecast(k), nbl.idx)
+        prod = ecast(q)[:, None, :] * k_j
         if dk is not None:
             prod = prod * dk
         attn = prod @ ones_block  # (N, K, H); lane l = its head's sum
-        attn = attn_act(attn) * cosine_cutoff(
-            dist, self.cutoff_lower, self.cutoff_upper
+        attn = attn_act(attn) * ecast(
+            cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = ell_gather(v, nbl.idx)
+        v_j = ell_gather(ecast(v), nbl.idx)
         if dv is not None:
             v_j = v_j * dv
         msg = v_j * attn  # (N, K, H)
-        out = msg.sum(axis=1)
+        out = msg.sum(axis=1, dtype=acc_dtype)
         return XavierDense(h, dtype=self.dtype)(out)
 
 
@@ -102,6 +109,7 @@ class TorchMD_T(nn.Module):
     max_z: int = 100
     max_num_neighbors: int = 32
     remat: bool = False  # see graph_network.TorchMD_GN.remat
+    bf16_messages: bool = False  # bf16 edge intermediates, f32 accumulation
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -158,6 +166,7 @@ class TorchMD_T(nn.Module):
                 self.attn_activation,
                 self.cutoff_lower,
                 self.cutoff_upper,
+                bf16_messages=self.bf16_messages,
                 dtype=self.dtype,
                 name=f"MultiHeadAttention_{li}",
             )(x, nbl, dist, edge_attr)
