@@ -201,3 +201,45 @@ def test_profiling_benchmark():
     assert r["mean_ms"] > 0 and r["min_ms"] <= r["mean_ms"]
     r2 = benchmark_pipelined(f, jnp.ones((64, 64)), warmup=1, iters=3)
     assert r2["mean_ms"] > 0
+
+
+def test_trace_summary(tmp_path):
+    """trace_summary parses the Perfetto JSON jax.profiler writes and ranks
+    device HLO fusions (host frames and region groupings excluded)."""
+    import gzip
+    import json
+
+    from torchmdnet_tpu.profiling import trace_summary
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        # two iterations of a device fusion: 2 ms total, 100 MB each
+        *[
+            {
+                "ph": "X", "name": "fusion.1", "dur": 1000,
+                "args": {
+                    "device_duration_ps": "1000000000",
+                    "hlo_category": "loop fusion",
+                    "bytes_accessed": str(100 * 1024**2),
+                    "long_name": "%fusion.1 = bf16[8,8] ...",
+                },
+            }
+            for _ in range(2)
+        ],
+        # a region grouping with device time but no category: skipped
+        {"ph": "X", "name": "7", "dur": 999,
+         "args": {"device_duration_ps": "999000000000"}},
+        # a host frame: skipped
+        {"ph": "X", "name": "$numpy asarray", "dur": 50, "args": {}},
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    rows = trace_summary(str(tmp_path), iters=2)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "fusion.1" and r["count"] == 1
+    assert abs(r["ms"] - 1.0) < 1e-9
+    assert abs(r["gbps"] - 100 * 1024**2 / 1e6) < 1.0
+    assert r["category"] == "loop fusion"

@@ -123,6 +123,78 @@ def device_ms_per_iter(
     return (best(k_hi) - best(k_lo)) / (k_hi - k_lo) * 1e3
 
 
+def trace_summary(log_dir: str, top: int = 25, iters: int = 1):
+    """Summarize a ``trace()`` capture: top device fusions by total time.
+
+    Parses the Perfetto-format trace JSON that jax.profiler writes (the
+    TPU-native analog of skimming an NVTX/nsys timeline) and aggregates
+    device-side HLO ops, so hot fusions can be ranked without a GUI:
+
+    >>> with trace("/tmp/t"):           # run >=1 steps of a jitted fn
+    ...     force(step(args))
+    >>> rows = trace_summary("/tmp/t", iters=1)
+
+    Returns a list of dicts {name, ms, count, gbps, category, long_name}
+    sorted by total time (``ms`` is per ``iters``); also prints a table.
+    ``gbps`` is the fusion's achieved HBM bandwidth (bytes_accessed / time) —
+    the single most useful signal on TPU, where most graph-NN ops are
+    traffic-bound: elementwise fusions near peak (~800 GB/s on v5e) are at
+    speed-of-light, gathers typically reach ~25-30% of peak.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(
+        glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+
+    agg: Dict[str, Dict] = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        name = e.get("name", "")
+        args = e.get("args") or {}
+        # device HLO events carry device_duration_ps + hlo_category; host
+        # frames and whole-program/region groupings don't
+        if "device_duration_ps" not in args or "hlo_category" not in args:
+            continue
+        row = agg.setdefault(
+            name,
+            {
+                "name": name,
+                "ms": 0.0,
+                "count": 0,
+                "bytes": 0,
+                "category": args.get("hlo_category", ""),
+                "long_name": args.get("long_name", "")[:200],
+            },
+        )
+        row["ms"] += float(args["device_duration_ps"]) / 1e9
+        row["bytes"] += int(args.get("bytes_accessed", 0))
+        row["count"] += 1
+
+    rows = sorted(agg.values(), key=lambda r: -r["ms"])
+    total = sum(r["ms"] for r in rows)
+    for r in rows:
+        r["ms"] /= iters
+        r["count"] //= iters
+        r["gbps"] = (r["bytes"] / iters) / (r["ms"] * 1e6) if r["ms"] else 0.0
+        del r["bytes"]
+    print(f"device total: {total / iters:.2f} ms/iter over {len(rows)} ops")
+    for r in rows[:top]:
+        print(
+            f"{r['ms']:8.3f} ms x{r['count']:<3d} {r['gbps']:6.0f} GB/s "
+            f"{r['category'][:18]:18s} {r['name']}"
+        )
+    return rows
+
+
 def benchmark_pipelined(fn: Callable, *args, warmup: int = 3, iters: int = 30):
     """Throughput timing: enqueue all iterations, then force every output.
 
