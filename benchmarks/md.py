@@ -1,0 +1,95 @@
+"""MD-loop throughput benchmark (the reference's "MD speed" notion,
+benchmarks/graph_network.ipynb, measured there as forward-only ms/it; here
+the REAL thing: full velocity-Verlet steps with forces, Verlet-skin neighbor
+reuse, on-device scan stepping).
+
+Timing: one warm-up step() call compiles; then step(n) is timed around a
+forced fetch.  Each chunk is hundreds of ms of device work, so the 35-70 ms
+tunnel RTT amortizes to <1% (PERF.md methodology notes).
+
+Usage:
+    python benchmarks/md.py --system stmv --model graph-network \
+        --bf16-messages --remat --skin 0.5 --rebuild-every 10
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.systems import SYSTEMS, synthetic_system
+from benchmarks.inference import model_args
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--system", default="dhfr", choices=sorted(SYSTEMS))
+    ap.add_argument("--model", default="graph-network")
+    ap.add_argument("--bf16-messages", action="store_true")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--skin", type=float, default=0.5)
+    ap.add_argument("--rebuild-every", type=int, default=10)
+    ap.add_argument("--timestep-fs", type=float, default=1.0)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cell-capacity", type=int, default=48)
+    ap.add_argument("--k", type=int, default=80, help="max_num_neighbors")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+    from torchmdnet_tpu.md import Simulation
+
+    n_atoms = SYSTEMS[args.system]
+    z, pos = synthetic_system(n_atoms)
+    npad = (n_atoms + 7) // 8 * 8
+    batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
+
+    margs = model_args(args.model)
+    margs.update(
+        bf16_messages=args.bf16_messages,
+        remat=args.remat,
+        max_num_neighbors=args.k,
+    )
+    model = create_model(margs)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    sim = Simulation(
+        model,
+        params,
+        batch,
+        timestep_fs=args.timestep_fs,
+        temperature_K=300.0,
+        friction_per_fs=0.01,
+        neighbor_skin=args.skin,
+        rebuild_every=args.rebuild_every,
+        neighbor_kwargs={"cell_capacity": args.cell_capacity},
+    )
+    sim.set_velocities_from_temperature(300.0)
+
+    sim.step(args.rebuild_every)  # compile both executables
+    float(np.asarray(sim.state.energy.ravel()[0]))  # force materialization
+
+    t0 = time.perf_counter()
+    sim.step(args.steps)
+    e = float(np.asarray(sim.state.energy.ravel()[0]))
+    dt = time.perf_counter() - t0
+    stale = bool(np.asarray(sim.state.stale))
+
+    ms = dt / args.steps * 1e3
+    ns_day = args.timestep_fs * 86400.0 / ms / 1e6 * 1e3
+    print(
+        f"{args.model} {args.system} ({n_atoms} atoms) "
+        f"bf16={args.bf16_messages} remat={args.remat} "
+        f"skin={args.skin} rebuild={args.rebuild_every}: "
+        f"{ms:.1f} ms/step ({ns_day:.2f} ns/day at {args.timestep_fs} fs), "
+        f"energy={e:.3f}, stale={stale}"
+    )
+
+
+if __name__ == "__main__":
+    main()

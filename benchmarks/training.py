@@ -1,0 +1,142 @@
+"""Training-step throughput benchmark (molecules/s on one chip).
+
+Times the full jitted AdamW train step (forward + force grad-of-grad +
+optimizer update + device-side loss accumulation) on synthetic padded batches
+at a chosen model scale, wall-clocked over a dispatch-pipelined run of many
+steps with one final fetch (each step is dispatched asynchronously; the
+35-70 ms tunnel RTT amortizes across the run — PERF.md methodology).
+
+Usage:
+    python benchmarks/training.py --model equivariant-transformer \
+        --batch-size 128 --num-atoms 18 --bf16-messages
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="equivariant-transformer")
+    ap.add_argument("--embedding-dimension", type=int, default=256)
+    ap.add_argument("--num-layers", type=int, default=8)
+    ap.add_argument("--num-rbf", type=int, default=64)
+    ap.add_argument("--max-num-neighbors", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--num-atoms", type=int, default=18)
+    ap.add_argument("--forces", action="store_true", help="train on forces too")
+    ap.add_argument("--bf16-messages", action="store_true")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+    from torchmdnet_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(args.batch_size):
+        n = args.num_atoms
+        mol = {
+            "z": rng.integers(1, 9, n).astype(np.int64),
+            "pos": (rng.standard_normal((n, 3)) * 1.8).astype(np.float32),
+            "y": rng.standard_normal((1, 1)).astype(np.float32),
+        }
+        if args.forces:
+            mol["neg_dy"] = rng.standard_normal((n, 3)).astype(np.float32)
+        mols.append(mol)
+    total = (args.batch_size * args.num_atoms + 7) // 8 * 8
+    batch = pad_molecules(mols, num_atoms=total, num_mol=args.batch_size)
+
+    h = dict(
+        model=args.model,
+        embedding_dimension=args.embedding_dimension,
+        num_layers=args.num_layers,
+        num_rbf=args.num_rbf,
+        rbf_type="expnorm",
+        trainable_rbf=False,
+        activation="silu",
+        neighbor_embedding=args.model != "tensornet",
+        cutoff_lower=0.0,
+        cutoff_upper=5.0,
+        max_z=100,
+        max_num_neighbors=args.max_num_neighbors,
+        derivative=args.forces,
+        bf16_messages=args.bf16_messages,
+        output_model="Scalar",
+        prior_model=None,
+        reduce_op="add",
+        precision=32,
+        atom_filter=-1,
+        lr=1e-4,
+        lr_warmup_steps=0,
+        weight_decay=0.0,
+        ema_alpha_y=1.0,
+        ema_alpha_neg_dy=1.0,
+        y_weight=1.0,
+        neg_dy_weight=1.0 if args.forces else 0.0,
+    )
+    import jax.numpy as jnp
+
+    model = create_model(h)
+    h["log_dir"] = "/tmp/bench_training_logs"
+    trainer = Trainer(model, h)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt_state = trainer.optimizer.init(params)
+    acc = jnp.zeros(3)
+    ema_y = ema_f = jnp.zeros(())
+
+    spd = args.steps_per_dispatch
+    if spd > 1:
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *([batch] * spd)
+        )
+        lrs = jnp.full((spd,), 1e-4, jnp.float32)
+
+        def dispatch(params, opt_state, acc, ema_y, ema_f):
+            return trainer._train_step_multi(
+                params, opt_state, acc, stacked, ema_y, ema_f, lrs
+            )
+    else:
+
+        def dispatch(params, opt_state, acc, ema_y, ema_f):
+            return trainer._train_step(
+                params, opt_state, acc, batch, ema_y, ema_f
+            )
+
+    # compile + settle (losses thread back in as the EMA carries, exactly as
+    # the epoch loop does)
+    params, opt_state, acc, ema_y, ema_f = dispatch(
+        params, opt_state, acc, ema_y, ema_f
+    )
+    float(np.asarray(acc).ravel()[0])
+
+    n_disp = max(1, args.steps // spd)
+    t0 = time.perf_counter()
+    for _ in range(n_disp):
+        params, opt_state, acc, ema_y, ema_f = dispatch(
+            params, opt_state, acc, ema_y, ema_f
+        )
+    float(np.asarray(acc).ravel()[0])
+    dt = time.perf_counter() - t0
+
+    ms = dt / (n_disp * spd) * 1e3
+    mols_s = args.batch_size / (ms / 1e3)
+    print(
+        f"{args.model} H={args.embedding_dimension} L={args.num_layers} "
+        f"batch={args.batch_size}x{args.num_atoms} forces={args.forces} "
+        f"bf16={args.bf16_messages} spd={spd}: "
+        f"{ms:.1f} ms/step = {mols_s:.0f} molecules/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -203,6 +203,45 @@ def test_profiling_benchmark():
     assert r2["mean_ms"] > 0
 
 
+def test_steps_per_dispatch_matches_single(tmp_path):
+    """The multi-step dispatch (lax.scan over stacked batches) must produce
+    the same training trajectory as per-step dispatch: same global_step,
+    matching epoch losses and final parameters (chunk remainder and the
+    in-chunk LR warmup advance included: 5 steps/epoch, chunk 2, warmup 3)."""
+    import csv
+
+    import jax.numpy as jnp
+
+    results = {}
+    for spd in (1, 2):
+        d = tmp_path / f"spd{spd}"
+        d.mkdir()
+        h = _hparams(
+            d, steps_per_dispatch=spd, num_epochs=2, lr_warmup_steps=3,
+            train_size=20, batch_size=4, ema_alpha_y=0.9,
+        )
+        ds = DummyDataset(num_samples=30, num_atoms=5, seed=7)
+        data = DataModule(h, dataset=ds)
+        data.setup()
+        model = create_model(h)
+        trainer = Trainer(model, h)
+        state = trainer.fit(data)
+        with open(os.path.join(str(d), "metrics.csv")) as f:
+            rows = list(csv.DictReader(f))
+        results[spd] = (
+            state.global_step,
+            [float(r["train_total_mse_loss"]) for r in rows],
+            jax.tree_util.tree_leaves(state.params),
+        )
+
+    assert results[1][0] == results[2][0] == 10
+    np.testing.assert_allclose(results[1][1], results[2][1], rtol=1e-4)
+    for a, b in zip(results[1][2], results[2][2]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_trace_summary(tmp_path):
     """trace_summary parses the Perfetto JSON jax.profiler writes and ranks
     device HLO fusions (host frames and region groupings excluded)."""
