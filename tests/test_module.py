@@ -219,8 +219,9 @@ def test_steps_per_dispatch_matches_single(tmp_path):
         h = _hparams(
             d, steps_per_dispatch=spd, num_epochs=2, lr_warmup_steps=3,
             train_size=20, batch_size=4, ema_alpha_y=0.9,
+            val_size=12,  # 3 val batches: one eval chunk of 2 + remainder
         )
-        ds = DummyDataset(num_samples=30, num_atoms=5, seed=7)
+        ds = DummyDataset(num_samples=40, num_atoms=5, seed=7)
         data = DataModule(h, dataset=ds)
         data.setup()
         model = create_model(h)
@@ -230,7 +231,8 @@ def test_steps_per_dispatch_matches_single(tmp_path):
             rows = list(csv.DictReader(f))
         results[spd] = (
             state.global_step,
-            [float(r["train_total_mse_loss"]) for r in rows],
+            [float(r["train_total_mse_loss"]) for r in rows]
+            + [float(r["val_total_mse_loss"]) for r in rows],
             jax.tree_util.tree_leaves(state.params),
         )
 

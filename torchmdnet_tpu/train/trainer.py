@@ -90,6 +90,7 @@ class Trainer:
             self._train_step_multi_impl, donate_argnums=(0, 1, 2)
         )
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_step_multi = jax.jit(self._eval_step_multi_impl)
 
     # --- core steps -------------------------------------------------------
 
@@ -205,6 +206,24 @@ class Trainer:
         return out
 
     # --- lr schedule ------------------------------------------------------
+
+    def _eval_step_multi_impl(self, params, batches):
+        """``steps_per_dispatch`` eval batches in one dispatch: scan over the
+        stacked batches and sum each metric on device (same per-dispatch
+        host-overhead amortization as _train_step_multi_impl)."""
+
+        def body(sums, batch):
+            out = self._eval_step_impl(params, batch)
+            if sums is None:
+                return out, None
+            return {k: sums[k] + v for k, v in out.items()}, None
+
+        # one traced step determines the dict structure for the carry
+        first = jax.tree_util.tree_map(lambda x: x[0], batches)
+        init = self._eval_step_impl(params, first)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], batches)
+        sums, _ = jax.lax.scan(lambda s, b: body(s, b), init, rest)
+        return sums
 
     def _current_lr(self, state: TrainerState):
         base = state.lr
@@ -354,14 +373,30 @@ class Trainer:
         h = self.h
         sums = {}
         n = 0
-        for batch in loader:
-            batch = self._shard_batch(batch)
-            out = self._eval_step(params, batch)
+        spd = int(h.get("steps_per_dispatch", 1) or 1)
+        pending = []
+
+        def add(out):
             for k, v in out.items():
                 # accumulate ON DEVICE; fetching per batch would cost one
                 # 35-70 ms tunnel round trip each (PERF.md)
                 sums[k] = sums.get(k, 0.0) + v
+
+        for batch in loader:
+            batch = self._shard_batch(batch)
             n += 1
+            if spd > 1:
+                pending.append(batch)
+                if len(pending) == spd:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *pending
+                    )
+                    add(self._eval_step_multi(params, stacked))
+                    pending.clear()
+            else:
+                add(self._eval_step(params, batch))
+        for batch in pending:  # chunk remainder
+            add(self._eval_step(params, batch))
         sums = {k: float(np.asarray(v)) for k, v in sums.items()}
         n = max(n, 1)
         metrics = {}
