@@ -21,14 +21,23 @@ Two implementations are provided:
   the production path, composes with data parallelism and works for every
   model in the framework;
 - an explicit shard_map reference (:func:`sharded_gather_aggregate`) showing
-  the collective schedule XLA should (and does) produce, used by tests and as
-  the seed for a future Pallas ring variant that overlaps the all-gather with
-  local aggregation.
+  the collective schedule XLA should (and does) produce, used by tests;
+- a ring-scheduled variant (:func:`make_ring_plan` +
+  :func:`ring_gather_aggregate`) that never materializes the full (N, H)
+  feature table on any device: source features travel the ring chunk by
+  chunk via ``ppermute`` while each hop's boundary messages are computed
+  from a precompacted per-owner edge schedule, so ICI transfers overlap
+  with local compute and per-device memory stays O(N/D).
 """
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from torchmdnet_tpu.data.batch import AtomicBatch
 
@@ -85,8 +94,6 @@ def sharded_gather_aggregate(x, idx, mask, w, mesh: Mesh, axis: str = "dp"):
         mask: (N, K) bool, sharded on rows.
         w: (N, K) edge weights, sharded on rows.
     """
-    from jax.experimental.shard_map import shard_map
-
     def local(x_local, idx_local, mask_local, w_local):
         x_full = jax.lax.all_gather(x_local, axis, tiled=True)  # (N, H)
         msg = x_full[idx_local] * w_local[..., None]
@@ -101,6 +108,125 @@ def sharded_gather_aggregate(x, idx, mask, w, mesh: Mesh, axis: str = "dp"):
     )(x, idx, mask, w)
 
 
+def make_ring_plan(idx, mask, mesh: Mesh, axis: str = "dp", boundary_capacity: int = 256):
+    """Precompute each shard's boundary-edge schedule for :func:`ring_gather_aggregate`.
+
+    With atoms (receivers) block-sharded over ``axis``, an edge is *internal*
+    when its source lives on the same shard as its receiver and *boundary*
+    otherwise.  Spatially sorted neighbor lists (the cell-list strategy sorts
+    atoms by cell) make boundary edges a surface term — a small fraction of
+    the N*K slots — so they compact into a fixed ``(D, boundary_capacity)``
+    table grouped by source owner.  The plan depends only on the neighbor
+    list, so it is built once per neighbor rebuild and reused across layers
+    and MD steps.
+
+    Args:
+        idx: (N, K) int32 global source ids, row-sharded over ``axis``.
+        mask: (N, K) bool edge validity, row-sharded.
+        boundary_capacity: max boundary slots per (shard, source-owner) pair.
+
+    Returns:
+        (plan_slots, plan_valid, n_dropped): per-shard (D, B) slot ids into
+        the flattened local (N_local*K,) edge arrays, their validity, and the
+        per-shard count of boundary edges that did not fit (0 == exact; the
+        caller must treat any nonzero as a capacity error, mirroring the
+        neighbor-list overflow contract of ops/neighbors.py).
+    """
+    n_shards = mesh.shape[axis]
+    n_local = idx.shape[0] // n_shards
+    k = idx.shape[1]
+    m = n_local * k
+    b = boundary_capacity
+
+    def local(idx_l, mask_l):
+        me = jax.lax.axis_index(axis)
+        flat_idx = idx_l.reshape(-1)
+        owner = flat_idx // n_local
+        boundary = mask_l.reshape(-1) & (owner != me)
+        # stable group-by-owner: one argsort, then fixed-capacity windows
+        key = jnp.where(boundary, owner, n_shards).astype(jnp.int32)
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        counts = jnp.bincount(key, length=n_shards + 1)[:n_shards]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+        )
+        pos = starts[:, None] + jnp.arange(b, dtype=counts.dtype)[None, :]
+        valid = jnp.arange(b)[None, :] < jnp.minimum(counts, b)[:, None]
+        slots = order[jnp.clip(pos, 0, m - 1)]
+        slots = jnp.where(valid, slots, 0)
+        n_dropped = jnp.maximum(counts - b, 0).sum()[None]
+        return slots, valid, n_dropped
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(idx, mask)
+
+
+def ring_gather_aggregate(
+    x, idx, mask, w, plan, mesh: Mesh, axis: str = "dp"
+):
+    """Ring-scheduled edge-partitioned aggregation:
+
+        out[i] = sum_k mask[i, k] * x[idx[i, k]] * w[i, k]
+
+    equal to :func:`sharded_gather_aggregate` (up to float addition order)
+    but with O(N/D) per-device memory and comm/compute overlap instead of a
+    full all-gather:
+
+        hop 0:  compute all INTERNAL edges from the resident chunk (the bulk
+                of the work at cell-list locality) while ``ppermute`` ships
+                the chunk to the next shard over ICI;
+        hop t:  compute the compacted boundary messages sourced from the
+                chunk that just arrived (plan row ``(me - t) mod D``) while
+                the next ``ppermute`` is already in flight.
+
+    Each hop's collective and compute are data-independent, so XLA's async
+    collective-permute overlaps them; total bytes moved equal the all-gather
+    (D-1 chunk hops) but peak memory never exceeds two chunks.
+
+    Args:
+        plan: output of :func:`make_ring_plan` on the same (idx, mask).
+    """
+    plan_slots, plan_valid, _ = plan
+    n_shards = mesh.shape[axis]
+    n_local = idx.shape[0] // n_shards
+    k = idx.shape[1]
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def local(x_l, idx_l, mask_l, w_l, slots, valid):
+        me = jax.lax.axis_index(axis)
+        lo = me * n_local
+        internal = mask_l & (idx_l // n_local == me)
+        li = jnp.where(internal, idx_l - lo, 0)
+        acc = jnp.where(
+            internal[..., None], x_l[li] * w_l[..., None], 0.0
+        ).sum(axis=1)
+
+        flat_idx = idx_l.reshape(-1)
+        flat_w = w_l.reshape(-1)
+        chunk = x_l
+        for t in range(1, n_shards):
+            chunk = jax.lax.ppermute(chunk, axis, perm)
+            o = jnp.mod(me - t, n_shards)
+            s = slots[o]
+            v = valid[o]
+            src = flat_idx[s] - o * n_local
+            msg = chunk[jnp.clip(src, 0, n_local - 1)] * flat_w[s][:, None]
+            msg = jnp.where(v[:, None], msg, 0.0)
+            acc = acc + jax.ops.segment_sum(msg, s // k, num_segments=n_local)
+        return acc
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(x, idx, mask, w, plan_slots, plan_valid)
+
+
 def two_stage_molecular_reduce(per_atom, batch_ids, num_mol: int, mesh: Mesh, axis: str = "dp"):
     """Edge-partitioned readout: local partial segment-sum + psum.
 
@@ -109,8 +235,6 @@ def two_stage_molecular_reduce(per_atom, batch_ids, num_mol: int, mesh: Mesh, ax
     atoms into a full (num_mol,) vector of partials, then a psum over ICI
     combines them.
     """
-    from jax.experimental.shard_map import shard_map
-
     def local(per_atom_local, ids_local):
         partial_sums = jax.ops.segment_sum(
             per_atom_local, ids_local, num_segments=num_mol + 1
