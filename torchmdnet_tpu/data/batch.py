@@ -11,7 +11,7 @@ static, so a batch is padded to a fixed (num_atoms, num_molecules) capacity:
 Capacities are chosen by the dataloader via bucketing to avoid recompiles.
 """
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -113,3 +113,40 @@ def pad_molecules(
         s=None if s is None else jnp.asarray(s),
         extra={k: jnp.asarray(v) for k, v in extra.items()},
     )
+
+
+def spatial_sort(batch: AtomicBatch, cell: float = 5.0) -> Tuple[AtomicBatch, jnp.ndarray]:
+    """Reorder atoms so storage order follows space (cell-key sort).
+
+    Spatially coherent row order concentrates each receiver block's sources
+    into a small window — the property the one-hot MXU gather plan
+    (ops/pallas/onehot_gather.py) and the ring edge-partition boundary plan
+    (parallel/edge_partition.py) exploit.  Atom order is semantically
+    irrelevant to every model (all reductions are segment-based), so sorting
+    once at setup is free accuracy-wise; per-atom outputs (forces) come back
+    in the sorted order and map to the original with the returned permutation:
+    ``forces_original = forces_sorted[inverse]`` where
+    ``inverse = jnp.argsort(order)``.
+
+    Sorts within-molecule (batch id is the leading key) so molecule
+    boundaries and segment reductions are untouched.  Padding atoms sort
+    last.  ``cell`` should be about the model cutoff.
+    """
+    import jax
+
+    pos = np.asarray(batch.pos)
+    ids = np.asarray(batch.batch).astype(np.int64)
+    mask = np.asarray(batch.atom_mask)
+    c = np.floor((pos - pos.min(axis=0)) / float(cell)).astype(np.int64)
+    span = int(max(c.max() + 1, 1))
+    key = ((ids * span + c[:, 0]) * span + c[:, 1]) * span + c[:, 2]
+    key = np.where(mask, key, np.iinfo(np.int64).max)  # padding last
+    order = jnp.asarray(np.argsort(key, kind="stable"), jnp.int32)
+
+    def permute(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == batch.num_atoms:
+            return leaf[order]
+        return leaf
+
+    sorted_batch = jax.tree_util.tree_map(permute, batch)
+    return sorted_batch, order

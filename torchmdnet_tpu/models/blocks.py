@@ -113,7 +113,7 @@ class NeighborEmbedding(nn.Module):
         w = w * c[..., None]
 
         x_neighbors = Embedding(self.max_z, self.hidden_channels, dtype=self.dtype)(z)
-        msg = ell_gather(x_neighbors, nbl.idx) * w  # (N, K, H)
+        msg = ell_gather(x_neighbors, nbl.idx, nbl.gather_plan) * w  # (N, K, H)
         msg = jnp.where(nbl.mask[..., None], msg, 0.0)
         agg = msg.sum(axis=1)
 

@@ -123,7 +123,7 @@ class EquivariantMultiHeadAttention(nn.Module):
             dv = act(XavierDense(3 * h, dtype=mp_dtype)(edge_attr))  # (N, K, 3H)
 
         # --- per-edge message (reference message(), torchmd_et.py:314-335) ---
-        k_j = ell_gather(ecast(k), nbl.idx)  # (N, K, H)
+        k_j = ell_gather(ecast(k), nbl.idx, nbl.gather_plan)  # (N, K, H)
         prod = ecast(q)[:, None, :] * k_j
         if dk is not None:
             prod = prod * dk
@@ -134,7 +134,7 @@ class EquivariantMultiHeadAttention(nn.Module):
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = ell_gather(ecast(v), nbl.idx)  # (N, K, 3H)
+        v_j = ell_gather(ecast(v), nbl.idx, nbl.gather_plan)  # (N, K, 3H)
         if dv is not None:
             v_j = v_j * dv
         x_m, vw1, vw2 = jnp.split(v_j, 3, axis=-1)  # each (N, K, H)
@@ -150,7 +150,7 @@ class EquivariantMultiHeadAttention(nn.Module):
         mask3 = nbl.mask[:, :, None]
         vec_agg = []
         for c in range(3):
-            vec_j_c = ell_gather(ecast(vec[c]), nbl.idx)  # (N, K, H)
+            vec_j_c = ell_gather(ecast(vec[c]), nbl.idx, nbl.gather_plan)  # (N, K, H)
             msg_c = vec_j_c * vw1 + vw2 * ecast(edge_dir[c])[..., None]
             msg_c = jnp.where(mask3, msg_c, 0.0)
             vec_agg.append(msg_c.sum(axis=1, dtype=acc_dtype))

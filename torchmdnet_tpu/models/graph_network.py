@@ -52,7 +52,7 @@ class CFConv(nn.Module):
         w = w * ecast(c)[..., None]  # (N, K, F)
 
         h = XavierDense(self.num_filters, use_bias=False, dtype=self.dtype)(x)
-        msg = ell_gather(ecast(h), nbl.idx) * w  # (N, K, F)
+        msg = ell_gather(ecast(h), nbl.idx, nbl.gather_plan) * w  # (N, K, F)
         if self.aggr == "add":
             msg = jnp.where(nbl.mask[..., None], msg, 0.0)
             agg = msg.sum(axis=1, dtype=acc_dtype)

@@ -123,6 +123,9 @@ class Potential:
         strategy: str = "auto",
         skin: float = 0.0,
         k: Optional[int] = None,
+        gather_plan: bool = False,
+        plan_block_rows: int = 32,
+        plan_width: int = 512,
         **cell_kwargs,
     ):
         """Build the representation's neighbor list as a standalone (jitted)
@@ -160,7 +163,7 @@ class Potential:
         cutoff_lower = a.get("cutoff_lower", 0.0)
         if skin > 0.0:
             cutoff_lower = max(0.0, cutoff_lower - skin)
-        return neighbor_list(
+        nbl = neighbor_list(
             batch.pos,
             batch.batch,
             batch.atom_mask,
@@ -172,6 +175,24 @@ class Potential:
             strategy=strategy,
             **cell_kwargs,
         )
+        if gather_plan:
+            # Route qualifying ell_gathers (wide bf16 rows) through the
+            # one-hot MXU kernel.  Best with spatially coherent atom order
+            # (data.batch.spatial_sort); plan overflow is checked by
+            # raise_on_overflow like every other static capacity.
+            from torchmdnet_tpu.ops.pallas.onehot_gather import (
+                make_block_gather_plan,
+            )
+
+            r = plan_block_rows
+            while r > 8 and batch.num_atoms % r != 0:
+                r //= 2
+            if batch.num_atoms % r == 0:
+                plan = make_block_gather_plan(
+                    nbl.idx, block_rows=r, width=plan_width
+                )
+                nbl = nbl.replace(gather_plan=plan)
+        return nbl
 
 
 def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:

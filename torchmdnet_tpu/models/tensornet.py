@@ -205,7 +205,7 @@ class TensorEmbedding(nn.Module):
             jnp.concatenate(
                 [
                     jnp.broadcast_to(zemb[:, None, :], (z.shape[0], nbl.k, h)),
-                    ell_gather(zemb, nbl.idx),
+                    ell_gather(zemb, nbl.idx, nbl.gather_plan),
                 ],
                 axis=-1,
             )
@@ -315,7 +315,7 @@ class Interaction(nn.Module):
         # (benchmarks/exp_tn_msg.py) with no change to the aggregation math.
         mp_dtype = jnp.bfloat16 if self.bf16_messages else cat.dtype
         acc_dtype = cat.dtype
-        cat_j = ell_gather(cat.astype(mp_dtype), nbl.idx)  # (N, K, 9H)
+        cat_j = ell_gather(cat.astype(mp_dtype), nbl.idx, nbl.gather_plan)  # (N, K, 9H)
         w_i, w_a, w_s = jnp.split(w.astype(mp_dtype), 3, axis=-1)
         # per-block multiply+reduce (slices are views; the products fuse into
         # the K reduction) — a concatenated 9H-wide multiplier would

@@ -73,7 +73,7 @@ class MultiHeadAttention(nn.Module):
         if self.distance_influence in ("values", "both"):
             dv = act(XavierDense(h, dtype=mp_dtype)(edge_attr))  # (N, K, H)
 
-        k_j = ell_gather(ecast(k), nbl.idx)
+        k_j = ell_gather(ecast(k), nbl.idx, nbl.gather_plan)
         prod = ecast(q)[:, None, :] * k_j
         if dk is not None:
             prod = prod * dk
@@ -83,7 +83,7 @@ class MultiHeadAttention(nn.Module):
         )[..., None]
         attn = jnp.where(nbl.mask[..., None], attn, 0.0)
 
-        v_j = ell_gather(ecast(v), nbl.idx)
+        v_j = ell_gather(ecast(v), nbl.idx, nbl.gather_plan)
         if dv is not None:
             v_j = v_j * dv
         msg = v_j * attn  # (N, K, H)

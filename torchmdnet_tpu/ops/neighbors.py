@@ -66,6 +66,11 @@ class NeighborList:
     # cell strategy only: scalar bool, True if a hash bucket overflowed its
     # static capacity (neighbors may then be incomplete; raise on host).
     cell_overflow: Optional[jnp.ndarray] = None
+    # optional block-compacted source plan routing ell_gather through the
+    # one-hot MXU kernel (ops/pallas/onehot_gather.py); built by
+    # Potential.neighbors(gather_plan=True), profitable for bf16 messages on
+    # large spatially-coherent systems.
+    gather_plan: Optional["BlockGatherPlan"] = None
 
     @property
     def num_atoms(self):
@@ -79,12 +84,18 @@ class NeighborList:
         """Drop the self-loop column (used by NeighborEmbedding, utils.py:91-96)."""
         if not self.self_loops:
             return self
+        plan = self.gather_plan
+        if plan is not None:
+            # the plan's slot table follows idx's columns; the source tables
+            # keep the (harmless) self entries
+            plan = plan._replace(local=plan.local[:, 1:])
         return NeighborList(
             idx=self.idx[:, 1:],
             mask=self.mask[:, 1:],
             n_neighbors=self.n_neighbors,
             self_loops=False,
             cell_overflow=self.cell_overflow,
+            gather_plan=plan,
         )
 
     def overflow(self) -> jnp.ndarray:
@@ -117,6 +128,13 @@ class NeighborList:
                 f"Cell-list capacity exceeded{' in ' + context if context else ''}: "
                 "raise cell_capacity / max_cells / max_dense_cells, or use "
                 "strategy='brute' or the hash fallback."
+            )
+        if self.gather_plan is not None and int(np.asarray(self.gather_plan.overflow)):
+            raise ValueError(
+                f"Gather-plan width exceeded{' in ' + context if context else ''}: "
+                f"{int(np.asarray(self.gather_plan.overflow))} block sources "
+                f"did not fit width={self.gather_plan.width}. Raise plan_width, "
+                "or spatially sort the batch (data.batch.spatial_sort)."
             )
         return self
 
@@ -161,6 +179,7 @@ class NeighborList:
             n_neighbors=self.n_neighbors,
             self_loops=self.self_loops,
             cell_overflow=self.cell_overflow,
+            gather_plan=self.gather_plan,  # depends only on idx — still valid
         )
 
 
@@ -178,8 +197,7 @@ def _transpose_perm(idx):
     return jnp.argsort(idx.ravel()).astype(jnp.int32)
 
 
-@jax.custom_vjp
-def ell_gather(x, idx):
+def ell_gather(x, idx, plan=None):
     """out[i, k] = x[idx[i, k]] with a scatter-free transpose.
 
     The plain-autodiff VJP of a gather is an XLA scatter-add, ~10x slower
@@ -191,7 +209,47 @@ def ell_gather(x, idx):
     The reference needed a hand-written twice-differentiable backward for
     the same reason (neighbors_cuda.cu:43-71); here the trick covers every
     model's message-passing gather, not just the neighbor op.
+
+    When a BlockGatherPlan is supplied (Potential.neighbors(gather_plan=True))
+    and the operand qualifies, the forward routes through the one-hot MXU
+    kernel (ops/pallas/onehot_gather.py) — bitwise-identical output, 1.2-1.4x
+    at protein sizes for wide bf16 rows on spatially coherent atom order
+    (PERF.md).  Expressed as a linear_call so the kernel is differentiable
+    (and transposable) at every order without a pallas autodiff rule; other
+    operands silently use the XLA gather.
     """
+    if _plan_applies(x, idx, plan):
+        return jax.custom_derivatives.linear_call(
+            _mxu_gather_fn, _mxu_gather_transpose, (idx, plan), x
+        )
+    return _ell_gather_xla(x, idx)
+
+
+def _plan_applies(x, idx, plan) -> bool:
+    return (
+        plan is not None
+        and hasattr(x, "ndim")
+        and x.ndim == 2
+        and x.dtype == jnp.bfloat16
+        and x.shape[-1] % 128 == 0
+        and plan.local.shape == idx.shape
+    )
+
+
+def _mxu_gather_fn(res, x):
+    from torchmdnet_tpu.ops.pallas.onehot_gather import onehot_gather
+
+    idx, plan = res
+    return onehot_gather(x, plan)
+
+
+def _mxu_gather_transpose(res, ct):
+    idx, plan = res
+    return ell_transpose_sum(ct, idx)
+
+
+@jax.custom_vjp
+def _ell_gather_xla(x, idx):
     return x[idx]
 
 
@@ -222,7 +280,7 @@ def _ell_gather_bwd(res, g):
     return ell_transpose_sum(g, idx), None
 
 
-ell_gather.defvjp(_ell_gather_fwd, _ell_gather_bwd)
+_ell_gather_xla.defvjp(_ell_gather_fwd, _ell_gather_bwd)
 
 
 def _ell_transpose_sum_fwd(g, idx):

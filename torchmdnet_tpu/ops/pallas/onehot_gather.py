@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: neighbor-feature gather as a block-compacted one-hot matmul.
+
+XLA's row gather is the measured floor of every message-passing layer
+(PERF.md: ~2 ns/row regardless of width, ~28% of v5e HBM bandwidth on the
+wide ET gathers; Mosaic's in-kernel dynamic_gather is limited to one vreg
+along the gather dim, so a Pallas gather loop cannot beat it).  This module
+routes the gather through the MXU instead:
+
+    1. Receivers are processed in blocks of R consecutive rows.  For
+       spatially coherent row order (the cell list sorts atoms by cell), the
+       sources referenced by one block form a small set: measured max ~640
+       unique sources per 64-row block at protein density with K=80,
+       *independent of system size* (surface effect) — see
+       benchmarks/exp_gather.py.
+    2. make_block_gather_plan() compacts each block's sources into a unique
+       table u (NB, W) and rewrites idx to positions in that table
+       (one sort per neighbor rebuild, shared by every layer).
+    3. x[u] pre-gathers (NB, W, F) — W/K-fold fewer gathered rows than x[idx].
+    4. The Pallas kernel builds the (R*Kc, W) one-hot selection matrix on the
+       VPU (an iota compare — never materialized in HBM) and multiplies it
+       with the block's source table on the MXU, emitting exact x rows
+       (one-hot matmul is exact in any dtype: each output sums one x value
+       and W-1 true zeros).
+
+The kernel replaces a HBM-random-access bound op with a compute op whose
+matmul units are otherwise idle during message passing.  It is profitable in
+bf16 (MXU-native); in f32 the MXU runs at ~1/4 rate and the XLA gather
+usually stays ahead — callers should route through it for bf16_messages
+paths (see ops/neighbors.py:ell_gather integration).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BlockGatherPlan(NamedTuple):
+    """Per-block source compaction of an ELL neighbor list.
+
+    Built once per neighbor rebuild; reused by every layer and both
+    differentiation orders (the plan depends only on idx).
+    """
+
+    u: jnp.ndarray  # (NB, W) int32: unique source ids per receiver block
+    local: jnp.ndarray  # (N, K) int32: position of idx[i, k] in u[i // R]
+    n_unique: jnp.ndarray  # (NB,) int32
+    overflow: jnp.ndarray  # () int32: total sources that did not fit (0 == exact)
+
+    @property
+    def block_rows(self) -> int:
+        return self.local.shape[0] // self.u.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.u.shape[1]
+
+
+def make_block_gather_plan(idx, *, block_rows: int = 32, width: int = 512) -> BlockGatherPlan:
+    """Compact each R-row block's sources into a W-entry unique table.
+
+    Args:
+        idx: (N, K) int32 source ids (every slot valid as a *gather* — masked
+            ELL slots point at their own row, ops/neighbors.py).  N % R == 0.
+        block_rows: R, receivers per block.
+        width: W, unique-source capacity per block (multiple of 128).  Must
+            cover the densest block; overflow is counted and must be treated
+            as a capacity error by the caller (same contract as the neighbor
+            list's own caps).
+    """
+    n, k = idx.shape
+    r, w = block_rows, width
+    assert n % r == 0, f"N={n} must be a multiple of block_rows={r}"
+    assert w % 128 == 0, "width must be lane-aligned (multiple of 128)"
+    nb = n // r
+    s = idx.reshape(nb, r * k)
+    perm = jnp.argsort(s, axis=1)
+    ssorted = jnp.take_along_axis(s, perm, axis=1)
+    is_new = jnp.concatenate(
+        [jnp.ones((nb, 1), bool), ssorted[:, 1:] != ssorted[:, :-1]], axis=1
+    )
+    rank = jnp.cumsum(is_new, axis=1) - 1  # (nb, r*k)
+    n_unique = (rank[:, -1] + 1).astype(jnp.int32)
+    overflow = jnp.maximum(n_unique - w, 0).sum()
+    rank_c = jnp.minimum(rank, w - 1).astype(jnp.int32)
+    # all slots of one rank-run share the same source value, so an
+    # unconditional scatter fills u without needing the is_new mask
+    rows = jnp.arange(nb, dtype=jnp.int32)[:, None]
+    u = jnp.zeros((nb, w), jnp.int32).at[rows, rank_c].set(ssorted.astype(jnp.int32))
+    local = jnp.zeros((nb, r * k), jnp.int32).at[rows, perm].set(rank_c)
+    return BlockGatherPlan(u, local.reshape(n, k), n_unique, overflow.astype(jnp.int32))
+
+
+def _pick_kc(k: int, r: int, max_rows: int = 1024) -> int:
+    """Largest divisor of K whose (R*Kc) one-hot row count stays VMEM-friendly."""
+    best = 1
+    for kc in range(1, k + 1):
+        if k % kc == 0 and r * kc <= max_rows:
+            best = kc
+    return best
+
+
+def _gather_kernel(local_ref, xw_ref, out_ref, *, w: int, kc: int):
+    # Mosaic block shapes must be (8, 128)-aligned or full-dim, so blocks
+    # span the full K axis and the one-hot chunks loop inside the kernel
+    # (VMEM slices have no alignment constraint).  All reshapes keep the
+    # lane (last) dim intact — Mosaic rejects lane-changing shape casts —
+    # and the one-hot build uses f32 select arithmetic like compaction.py
+    # (3D bool intermediates are not lowerable).
+    r, k = local_ref.shape
+    f = out_ref.shape[-1]
+    xw = xw_ref[0]  # (W, F)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, kc, w), 2).astype(jnp.float32)
+    for c0 in range(0, k, kc):
+        loc = local_ref[:, c0 : c0 + kc].astype(jnp.float32)[:, :, None]
+        onehot = jnp.where(loc == cols, 1.0, 0.0)  # (R, Kc, W) f32
+        onehot = onehot.reshape(r * kc, w).astype(xw.dtype)
+        out = jax.lax.dot(onehot, xw, preferred_element_type=jnp.float32)
+        out_ref[:, c0 : c0 + kc, :] = out.astype(out_ref.dtype).reshape(r, kc, f)
+
+
+def onehot_gather(x, plan: BlockGatherPlan, *, interpret: bool = None):
+    """out[i, k] = x[idx[i, k]] via per-block one-hot MXU matmuls.
+
+    Exact (bitwise) replacement for the forward of ell_gather when the plan
+    has no overflow.  x: (N, F) with F a multiple of 128.
+    """
+    if interpret is None:  # run the kernel in interpret mode off-TPU (tests)
+        interpret = jax.devices()[0].platform != "tpu"
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    r = n // nb
+    f = x.shape[-1]
+    kc = _pick_kc(k, r)
+    xw = x[plan.u]  # (NB, W, F): the only HBM gather, W/K-fold fewer rows
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, w=w, kc=kc),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, f), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (r, k, f), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, k, f), x.dtype),
+        interpret=interpret,
+    )(plan.local, xw)
+    return out
