@@ -85,6 +85,32 @@ def test_resume(tmp_path):
     assert state2.global_step > state.global_step
 
 
+def test_auto_resume(tmp_path):
+    """Elastic restart: with auto_resume, a fresh trainer pointed at the same
+    log_dir continues from the newest checkpoint with no --load-model."""
+    from torchmdnet_tpu.train.checkpoints import latest_checkpoint
+
+    h = _hparams(tmp_path, num_epochs=2)
+    ds = DummyDataset(num_samples=20, num_atoms=5)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    state = Trainer(create_model(h), h).fit(data)  # "preempted" after 2 epochs
+
+    newest = latest_checkpoint(str(tmp_path))
+    assert newest is not None and "epoch=1" in newest
+
+    h2 = _hparams(tmp_path, num_epochs=4, auto_resume=True)
+    trainer2 = Trainer(create_model(h2), h2)
+    state2 = trainer2.fit(data)
+    assert state2.epoch == 3
+    assert state2.global_step > state.global_step
+
+    # without the flag, the same setup starts from scratch
+    h3 = _hparams(tmp_path, num_epochs=1)
+    state3 = Trainer(create_model(h3), h3).fit(data)
+    assert state3.epoch == 0
+
+
 def test_standardize(tmp_path):
     h = _hparams(tmp_path, standardize=True)
     ds = DummyDataset(num_samples=20, num_atoms=5)

@@ -77,3 +77,32 @@ def load_checkpoint(filepath) -> Dict[str, Any]:
         "params": serialization.msgpack_restore(blobs.pop("params")),
         "blobs": blobs,
     }
+
+
+def latest_checkpoint(log_dir) -> Optional[str]:
+    """Newest .ckpt in ``log_dir`` by embedded epoch (mtime breaks ties).
+
+    The elastic-recovery hook: a restarted job with ``--auto-resume`` picks
+    up exactly where the last surviving checkpoint left off, with no operator
+    input.  The reference has no analog (SURVEY.md section 5: fault tolerance
+    = checkpoints + manual --load-model).
+    """
+    import os
+    import re
+
+    best = None
+    best_key = None
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return None
+    for name in names:
+        if not name.endswith(".ckpt"):
+            continue
+        path = os.path.join(log_dir, name)
+        m = re.search(r"epoch=(\d+)", name)
+        epoch = int(m.group(1)) if m else -1
+        key = (epoch, os.path.getmtime(path))
+        if best_key is None or key > best_key:
+            best, best_key = path, key
+    return best

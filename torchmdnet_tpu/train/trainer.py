@@ -253,6 +253,13 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         state = TrainerState(params=params, opt_state=opt_state, lr=h.get("lr", 1e-4))
 
+        if not ckpt_path and h.get("auto_resume"):
+            from torchmdnet_tpu.train.checkpoints import latest_checkpoint
+
+            ckpt_path = latest_checkpoint(self.log_dir)
+            if ckpt_path:
+                print(f"auto-resume: restoring from {ckpt_path}")
+
         if ckpt_path and not h.get("reset_trainer"):
             state = self._restore(ckpt_path, state)
         elif ckpt_path:
