@@ -74,6 +74,34 @@ def bench_one(n, f, dtype, r=32, w=512):
     )
 
 
+def bench_transpose(n, f, dtype, r=32, w=512):
+    from torchmdnet_tpu.ops.neighbors import ell_transpose_sum
+    from torchmdnet_tpu.ops.pallas.onehot_gather import onehot_transpose_sum
+
+    idx, npad = spatially_sorted_idx(n)
+    k = idx.shape[1]
+    plan = make_block_gather_plan(idx, block_rows=r, width=w)
+    ov = int(plan.overflow) + int(plan.inv_overflow)
+    rng = np.random.default_rng(0)
+    g0 = jnp.asarray(rng.standard_normal((npad, k, f)), dtype)
+
+    def step_argsort(c, eps):
+        red = ell_transpose_sum(c, idx)
+        return (c + eps.astype(c.dtype) * red[:, None, :]).astype(c.dtype)
+
+    def step_onehot(c, eps):
+        red = onehot_transpose_sum(c, plan)
+        return (c + eps.astype(c.dtype) * red[:, None, :]).astype(c.dtype)
+
+    t_a = device_ms_per_iter(step_argsort, g0)
+    t_o = device_ms_per_iter(step_onehot, g0)
+    print(
+        f"transpose N={n:6d} K={k} F={f:4d} W={w} overflow={ov}: "
+        f"argsort {t_a:7.3f} ms   onehot {t_o:7.3f} ms   ({t_a / t_o:4.2f}x)",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -86,6 +114,10 @@ if __name__ == "__main__":
         (5807, 384, jnp.bfloat16),
     ]
     limit = int(_sys.argv[1]) if len(_sys.argv) > 1 else len(configs)
+    mode = _sys.argv[2] if len(_sys.argv) > 2 else "gather"
     for n, f, dtype in configs[:limit]:
         w = 512 if n < 30000 else 640
-        bench_one(n, f, dtype, w=w)
+        if mode == "gather":
+            bench_one(n, f, dtype, w=w)
+        else:
+            bench_transpose(n, f, dtype, w=w)

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--bf16-messages", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--trace", action="store_true", help="capture a device trace of a few dispatches and print the top fusions")
     args = ap.parse_args()
 
     import jax
@@ -136,6 +137,18 @@ def main():
         f"bf16={args.bf16_messages} spd={spd}: "
         f"{ms:.1f} ms/step = {mols_s:.0f} molecules/s"
     )
+
+    if args.trace:
+        from torchmdnet_tpu.profiling import trace, trace_summary
+
+        log_dir = "/tmp/bench_training_trace"
+        with trace(log_dir):
+            for _ in range(2):
+                params, opt_state, acc, ema_y, ema_f = dispatch(
+                    params, opt_state, acc, ema_y, ema_f
+                )
+            float(np.asarray(acc).ravel()[0])
+        trace_summary(log_dir, top=30, iters=2 * spd)
 
 
 if __name__ == "__main__":

@@ -126,3 +126,34 @@ def test_spatial_sort_preserves_physics():
     np.testing.assert_allclose(
         np.asarray(f0), np.asarray(f1)[inv], rtol=1e-4, atol=1e-5
     )
+
+
+def test_onehot_transpose_sum_matches_argsort_path():
+    from torchmdnet_tpu.ops.neighbors import ell_transpose_sum
+    from torchmdnet_tpu.ops.pallas.onehot_gather import onehot_transpose_sum
+
+    nbl = _valid_list()
+    plan = make_block_gather_plan(nbl.idx, block_rows=32, width=256)
+    assert int(plan.overflow) == 0 and int(plan.inv_overflow) == 0
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(
+        rng.standard_normal((nbl.num_atoms, nbl.idx.shape[1], 128)), jnp.float32
+    )
+    ref = ell_transpose_sum(g, nbl.idx)
+    out = onehot_transpose_sum(g, plan)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
+    gb = g.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(ell_transpose_sum(gb, nbl.idx), np.float32),
+        np.asarray(onehot_transpose_sum(gb, plan), np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_inv_capacity_overflow_detected():
+    nbl = _valid_list()
+    plan = make_block_gather_plan(nbl.idx, block_rows=32, width=256, inv_capacity=8)
+    if int(plan.inv_overflow) == 0:
+        pytest.skip("inverse table fits capacity 8")
+    with pytest.raises(ValueError, match="inverse capacity"):
+        nbl.replace(gather_plan=plan).raise_on_overflow("test")

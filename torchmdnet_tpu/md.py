@@ -163,6 +163,11 @@ class Simulation:
             bad = (jnp.max(d2s) > (0.5 * self.skin) ** 2) | nbl.overflow()
             if nbl.cell_overflow is not None:
                 bad = bad | nbl.cell_overflow
+            if nbl.gather_plan is not None:
+                # atoms diffusing away from the setup-time spatial sort can
+                # outgrow the plan capacities; surface it like staleness
+                bad = bad | (nbl.gather_plan.overflow > 0)
+                bad = bad | (nbl.gather_plan.inv_overflow > 0)
             stale0 = jnp.zeros((), bool) if state.stale is None else state.stale
             return MDState(
                 pos=pos, vel=vel, key=key, energy=ys[-1], stale=stale0 | bad

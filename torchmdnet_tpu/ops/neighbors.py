@@ -136,6 +136,15 @@ class NeighborList:
                 f"did not fit width={self.gather_plan.width}. Raise plan_width, "
                 "or spatially sort the batch (data.batch.spatial_sort)."
             )
+        if self.gather_plan is not None and int(
+            np.asarray(self.gather_plan.inv_overflow)
+        ):
+            raise ValueError(
+                f"Gather-plan inverse capacity exceeded"
+                f"{' in ' + context if context else ''}: a source atom appears "
+                "in too many receiver blocks. Raise inv_capacity, or spatially "
+                "sort the batch (data.batch.spatial_sort)."
+            )
         return self
 
     def refine(
@@ -245,6 +254,14 @@ def _mxu_gather_fn(res, x):
 
 def _mxu_gather_transpose(res, ct):
     idx, plan = res
+    # F=128 cotangents lose to the argsort path (PERF.md: 0.84x) — the
+    # G^T matmul wins from F>=256 up (1.6-2x)
+    if ct.dtype == jnp.bfloat16 and ct.shape[-1] % 128 == 0 and ct.shape[-1] >= 256:
+        from torchmdnet_tpu.ops.pallas.onehot_gather import onehot_transpose_sum
+
+        # G^T matmul per block + the plan's inverse gather: replaces the
+        # argsort transpose's N*K-row gather with MXU work + N*A rows
+        return onehot_transpose_sum(ct, plan)
     return ell_transpose_sum(ct, idx)
 
 

@@ -49,6 +49,12 @@ class BlockGatherPlan(NamedTuple):
     local: jnp.ndarray  # (N, K) int32: position of idx[i, k] in u[i // R]
     n_unique: jnp.ndarray  # (NB,) int32
     overflow: jnp.ndarray  # () int32: total sources that did not fit (0 == exact)
+    # inverse table for the transpose: source j's partial sums live in
+    # P[inv_blocks[j, a], inv_pos[j, a]] for a < its block count
+    inv_blocks: jnp.ndarray  # (N, A) int32
+    inv_pos: jnp.ndarray  # (N, A) int32
+    inv_valid: jnp.ndarray  # (N, A) bool
+    inv_overflow: jnp.ndarray  # () int32: sources in more than A blocks
 
     @property
     def block_rows(self) -> int:
@@ -59,7 +65,9 @@ class BlockGatherPlan(NamedTuple):
         return self.u.shape[1]
 
 
-def make_block_gather_plan(idx, *, block_rows: int = 32, width: int = 512) -> BlockGatherPlan:
+def make_block_gather_plan(
+    idx, *, block_rows: int = 32, width: int = 512, inv_capacity: int = 16
+) -> BlockGatherPlan:
     """Compact each R-row block's sources into a W-entry unique table.
 
     Args:
@@ -91,7 +99,49 @@ def make_block_gather_plan(idx, *, block_rows: int = 32, width: int = 512) -> Bl
     rows = jnp.arange(nb, dtype=jnp.int32)[:, None]
     u = jnp.zeros((nb, w), jnp.int32).at[rows, rank_c].set(ssorted.astype(jnp.int32))
     local = jnp.zeros((nb, r * k), jnp.int32).at[rows, perm].set(rank_c)
-    return BlockGatherPlan(u, local.reshape(n, k), n_unique, overflow.astype(jnp.int32))
+
+    # ---- inverse table: which (block, w) slots hold each source's partials.
+    # A source appears in a block's table iff a neighbor of it lives there,
+    # so its block count is a small constant at spatial locality (the K
+    # neighbors span ~K/R + surface blocks).
+    a_cap = max(8, inv_capacity)
+    m = nb * w
+    tgt = u.reshape(m)
+    entry_valid = (
+        jnp.arange(w, dtype=jnp.int32)[None, :] < jnp.minimum(n_unique, w)[:, None]
+    ).reshape(m)
+    tkey = jnp.where(entry_valid, tgt, n).astype(jnp.int32)
+    torder = jnp.argsort(tkey, stable=True).astype(jnp.int32)
+    skey = tkey[torder]
+    t_new = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    first_at = jnp.where(t_new, jnp.arange(m, dtype=jnp.int32), 0)
+    group_start = jax.lax.cummax(first_at)
+    apos = jnp.arange(m, dtype=jnp.int32) - group_start
+    in_range = entry_valid[torder] & (apos < a_cap)
+    inv_overflow = (entry_valid[torder] & (apos >= a_cap)).sum()
+    row_t = jnp.where(in_range, skey, n)  # row n == dump slot
+    col_t = jnp.where(in_range, apos, 0)
+    inv_blocks = (
+        jnp.zeros((n + 1, a_cap), jnp.int32)
+        .at[row_t, col_t].set(torder // w)[: n]
+    )
+    inv_pos = (
+        jnp.zeros((n + 1, a_cap), jnp.int32)
+        .at[row_t, col_t].set(torder % w)[: n]
+    )
+    inv_valid = (
+        jnp.zeros((n + 1, a_cap), bool).at[row_t, col_t].set(in_range)[: n]
+    )
+    return BlockGatherPlan(
+        u,
+        local.reshape(n, k),
+        n_unique,
+        overflow.astype(jnp.int32),
+        inv_blocks,
+        inv_pos,
+        inv_valid,
+        inv_overflow.astype(jnp.int32),
+    )
 
 
 def _pick_kc(k: int, r: int, max_rows: int = 1024) -> int:
@@ -150,3 +200,75 @@ def onehot_gather(x, plan: BlockGatherPlan, *, interpret: bool = None):
         interpret=interpret,
     )(plan.local, xw)
     return out
+
+
+def _transpose_kernel(local_ref, g_ref, p_ref, *, w: int, kc: int):
+    # P_b = onehot_b^T @ g_b: contract over the slot-row axis with a
+    # lhs-transposed dot (MXU handles either orientation); the one-hot is
+    # rebuilt per chunk exactly as in the forward kernel.
+    r, k = local_ref.shape
+    f = g_ref.shape[-1]
+    acc = jnp.zeros((w, f), jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, kc, w), 2).astype(jnp.float32)
+    for c0 in range(0, k, kc):
+        loc = local_ref[:, c0 : c0 + kc].astype(jnp.float32)[:, :, None]
+        onehot = jnp.where(loc == cols, 1.0, 0.0).reshape(r * kc, w)
+        g = g_ref[:, c0 : c0 + kc, :].reshape(r * kc, f)
+        acc = acc + jax.lax.dot_general(
+            onehot.astype(g.dtype),
+            g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    p_ref[...] = acc.reshape(1, w, f)
+
+
+def _pick_fc(f: int, limit: int = 512) -> int:
+    """Largest lane-aligned divisor of F within the VMEM-friendly limit."""
+    if f <= limit:
+        return f
+    best = 128
+    for fc in range(128, limit + 1, 128):
+        if f % fc == 0:
+            best = fc
+    return best
+
+
+def onehot_transpose_sum(g, plan: BlockGatherPlan, *, interpret: bool = None):
+    """dh[j] = sum of g[i, k] over all slots with idx[i, k] == j, via per-block
+    G^T matmuls + the plan's inverse table (scatter-free).
+
+    The transpose of onehot_gather: each block reduces its slots into (W, F)
+    partials on the MXU (f32 accumulation); source j then gathers its <=A
+    block partials and sums them.  Replaces the argsort-path transpose's
+    N*K-row gather with N*A rows (A ~ 16).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    r = n // nb
+    f = g.shape[-1]
+    g3 = g.reshape(n, k, f)
+    kc = _pick_kc(k, r)
+    fc = _pick_fc(f)  # wide F runs as extra grid steps to fit scoped VMEM
+    partials = pl.pallas_call(
+        functools.partial(_transpose_kernel, w=w, kc=kc),
+        grid=(nb, f // fc),
+        in_specs=[
+            pl.BlockSpec((r, k), lambda b, c: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (r, k, fc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w, fc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, w, f), jnp.float32),
+        interpret=interpret,
+    )(plan.local, g3)
+    flat = partials.reshape(nb * w, f)
+    slots = plan.inv_blocks * w + plan.inv_pos  # (N, A)
+    picked = flat[slots]  # (N, A, F)
+    picked = jnp.where(plan.inv_valid[..., None], picked, 0.0)
+    return picked.sum(axis=1).astype(g.dtype)
