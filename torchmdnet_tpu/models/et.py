@@ -213,6 +213,10 @@ class TorchMD_ET(nn.Module):
             self.num_rbf,
             self.trainable_rbf,
             dtype=self.dtype,
+            # the reference ET omits dtype when building its RBF
+            # (torchmd_et.py:114-116), leaving float32 constants in any
+            # precision mode; reproduced for checkpoint/golden parity
+            buffer_dtype=jnp.float32,
         )(dist)
 
         # Unit vector from receiver i to neighbor j; zero for self/invalid

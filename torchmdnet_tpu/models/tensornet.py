@@ -396,6 +396,10 @@ class TensorNet(nn.Module):
             self.num_rbf,
             self.trainable_rbf,
             dtype=self.dtype,
+            # the reference TensorNet omits dtype when building its RBF
+            # (tensornet.py:145-147), leaving float32 constants in any
+            # precision mode; reproduced for checkpoint/golden parity
+            buffer_dtype=jnp.float32,
         )(dist)
 
         # edge_vec = pos_i - pos_j = -delta; normalized except on self loops

@@ -11,12 +11,30 @@ is applied to an arbitrary-shaped distance array and appends a trailing
 are usually (N, K) so the output is (N, K, num_rbf)).
 """
 
-import math
-
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
+
+
+def _torch_linspace(start, end, num, dtype):
+    """Bit-exact equivalent of ``torch.linspace(start, end, num, dtype)``.
+
+    torch fills linspace from BOTH ends (forward from ``start`` for the first
+    half, backward from ``end`` for the rest), which rounds differently from
+    ``np.linspace``/``jnp.linspace`` in the upper half.  The RBF shape
+    constants must match the reference's buffers bit-for-bit for golden
+    parity (verified against torch across dtypes/sizes in
+    tests/test_golden_reference.py).
+    """
+    start = np.asarray(start, dtype)
+    end = np.asarray(end, dtype)
+    step = np.asarray((np.float64(end) - np.float64(start)) / (num - 1), dtype)
+    i = np.arange(num)
+    lo = (start + i * step).astype(dtype)
+    hi = (end - (num - 1 - i) * step).astype(dtype)
+    return np.where(i < num // 2, lo, hi).astype(dtype)
 
 
 class GaussianSmearing(nn.Module):
@@ -25,13 +43,20 @@ class GaussianSmearing(nn.Module):
     num_rbf: int = 50
     trainable: bool = True
     dtype: jnp.dtype = jnp.float32
+    # dtype the shape constants are *computed* in before being cast to the
+    # compute dtype.  None -> self.dtype.  The reference computes them in the
+    # dtype handed to the RBF constructor (utils.py:289), which GN/T pass
+    # through (torchmd_gn.py:113, torchmd_t.py:105) but ET and TensorNet omit
+    # (torchmd_et.py:114-116, tensornet.py:145-147) — so those two carry
+    # float32-valued constants even in fp64 mode.  Golden parity reproduces
+    # that quirk via buffer_dtype=float32 at the ET/TensorNet call sites.
+    buffer_dtype: jnp.dtype = None
 
     def _initial_params(self):
-        offset = jnp.linspace(
-            self.cutoff_lower, self.cutoff_upper, self.num_rbf, dtype=jnp.float32
-        )
-        coeff = -0.5 / (offset[1] - offset[0]) ** 2
-        return offset, jnp.asarray(coeff, dtype=jnp.float32)
+        bdt = np.dtype(self.buffer_dtype or self.dtype)
+        offset = _torch_linspace(self.cutoff_lower, self.cutoff_upper, self.num_rbf, bdt)
+        coeff = -np.asarray(0.5, bdt) / (offset[1] - offset[0]) ** 2
+        return jnp.asarray(offset), jnp.asarray(coeff, dtype=bdt)
 
     @nn.compact
     def __call__(self, dist):
@@ -53,16 +78,22 @@ class ExpNormalSmearing(nn.Module):
     num_rbf: int = 50
     trainable: bool = True
     dtype: jnp.dtype = jnp.float32
+    buffer_dtype: jnp.dtype = None  # see GaussianSmearing.buffer_dtype
 
     def _initial_params(self):
-        start_value = math.exp(-self.cutoff_upper + self.cutoff_lower)
-        means = jnp.linspace(start_value, 1.0, self.num_rbf, dtype=jnp.float32)
-        betas = jnp.full(
-            (self.num_rbf,),
-            (2.0 / self.num_rbf * (1.0 - start_value)) ** -2,
-            dtype=jnp.float32,
+        # constants computed in buffer_dtype like the reference's buffers
+        # (utils.py:326-332: exp/linspace/tensor(..., dtype=self.dtype))
+        bdt = np.dtype(self.buffer_dtype or self.dtype)
+        start_value = np.exp(
+            np.asarray(-self.cutoff_upper + self.cutoff_lower, bdt)
         )
-        return means, betas
+        means = _torch_linspace(start_value, 1.0, self.num_rbf, bdt)
+        betas = np.full(
+            (self.num_rbf,),
+            (np.asarray(2.0 / self.num_rbf, bdt) * (1 - start_value)) ** -2,
+            dtype=bdt,
+        )
+        return jnp.asarray(means), jnp.asarray(betas)
 
     @nn.compact
     def __call__(self, dist):
