@@ -133,6 +133,16 @@ def _make_torch_cluster(torch):
         if not loop:
             adj.fill_diagonal_(False)
         src, dst = adj.nonzero(as_tuple=True)
+        # This shim uses d <= r with NO neighbor truncation. Real
+        # torch_cluster truncates each node to max_num_neighbors; golden
+        # values generated past that limit would encode shim semantics, so
+        # fail loudly instead of silently differing.
+        counts = torch.bincount(dst, minlength=n)
+        assert int(counts.max()) <= max_num_neighbors, (
+            f"radius_graph shim: a node has {int(counts.max())} neighbors, "
+            f"above max_num_neighbors={max_num_neighbors}; real torch_cluster "
+            "would truncate here — this golden case is out of shim scope"
+        )
         return torch.stack([src, dst])
 
     mod.radius_graph = radius_graph

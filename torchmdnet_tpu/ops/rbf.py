@@ -19,22 +19,49 @@ from torchmdnet_tpu.ops.cutoff import cosine_cutoff
 
 
 def _torch_linspace(start, end, num, dtype):
-    """Bit-exact equivalent of ``torch.linspace(start, end, num, dtype)``.
+    """Bit-exact equivalent of ``torch.linspace(start, end, num, dtype)`` for
+    float32/float64 (fuzz-verified against torch CPU in
+    tests/test_rbfs.py::test_torch_linspace_bit_exact).
 
-    torch fills linspace from BOTH ends (forward from ``start`` for the first
-    half, backward from ``end`` for the rest), which rounds differently from
-    ``np.linspace``/``jnp.linspace`` in the upper half.  The RBF shape
-    constants must match the reference's buffers bit-for-bit for golden
-    parity (verified against torch across dtypes/sizes in
-    tests/test_golden_reference.py).
+    torch's CPU kernel computes ``step = (end - start) / (num - 1)`` in the
+    TARGET dtype and fills from both ends with FMA-contracted arithmetic:
+    ``fma(step, i, start)`` for the first half and ``fma(-step, num-1-i, end)``
+    for the rest (aten RangeFactories ``linspace_kernel``).  ``np.linspace``
+    rounds differently (no fma, single-end fill), so the reference's RBF shape
+    buffers need this exact reproduction for golden parity.  Transcendental
+    *inputs* (e.g. ExpNormalSmearing's ``exp(-cutoff)``) may still carry a
+    <=1 ulp np-vs-torch difference where SLEEF is not correctly rounded;
+    golden tolerances account for that.
     """
-    start = np.asarray(start, dtype)
-    end = np.asarray(end, dtype)
-    step = np.asarray((np.float64(end) - np.float64(start)) / (num - 1), dtype)
-    i = np.arange(num)
-    lo = (start + i * step).astype(dtype)
-    hi = (end - (num - 1 - i) * step).astype(dtype)
-    return np.where(i < num // 2, lo, hi).astype(dtype)
+    dtype = np.dtype(dtype)
+    if num == 1:
+        return np.asarray([start], dtype)
+    if dtype == np.float32:
+        s, e = np.float32(start), np.float32(end)
+        step = np.float32((e - s) / np.float32(num - 1))
+        # emulated single-rounding f32 fma: the f64 product of f32 inputs is
+        # exact, so one final cast rounds once
+        i = np.arange(num, dtype=np.float64)
+        lo = (np.float64(step) * i + np.float64(s)).astype(np.float32)
+        hi = (np.float64(-step) * (num - 1 - i) + np.float64(e)).astype(np.float32)
+        return np.where(np.arange(num) < num // 2, lo, hi)
+    if dtype == np.float64:
+        from fractions import Fraction
+
+        # exact f64 fma via rational arithmetic (init-time constants only)
+        s, e = float(start), float(end)
+        step = (e - s) / float(num - 1)
+        half = num // 2
+        out = np.empty(num, np.float64)
+        for i in range(num):
+            out[i] = float(
+                Fraction(step) * i + Fraction(s)
+                if i < half
+                else Fraction(-step) * (num - 1 - i) + Fraction(e)
+            )
+        return out
+    # low-precision dtypes are never golden-compared; plain linspace
+    return np.linspace(float(start), float(end), num).astype(dtype)
 
 
 class GaussianSmearing(nn.Module):
@@ -62,8 +89,12 @@ class GaussianSmearing(nn.Module):
     def __call__(self, dist):
         offset0, coeff0 = self._initial_params()
         if self.trainable:
-            offset = self.param("offset", lambda rng: offset0)
-            coeff = self.param("coeff", lambda rng: coeff0)
+            # Trainable RBF params live in the MODEL dtype: the reference
+            # upcasts nn.Parameters via model.to(dtype) (model.py:201), so
+            # fp64 training trains them in f64; only non-trainable buffers
+            # keep the buffer_dtype quirk.
+            offset = self.param("offset", lambda rng: offset0.astype(self.dtype))
+            coeff = self.param("coeff", lambda rng: coeff0.astype(self.dtype))
         else:
             offset, coeff = offset0, coeff0
         offset = jnp.asarray(offset, self.dtype)
@@ -84,8 +115,12 @@ class ExpNormalSmearing(nn.Module):
         # constants computed in buffer_dtype like the reference's buffers
         # (utils.py:326-332: exp/linspace/tensor(..., dtype=self.dtype))
         bdt = np.dtype(self.buffer_dtype or self.dtype)
-        start_value = np.exp(
-            np.asarray(-self.cutoff_upper + self.cutoff_lower, bdt)
+        # torch.exp's f32 kernel returns the f64 result rounded once; np.exp's
+        # f32 kernel does not — compute in f64 and round to the buffer dtype
+        # (<=1 ulp residual where SLEEF is not correctly rounded; golden
+        # tolerances absorb it).
+        start_value = np.asarray(
+            np.exp(np.float64(-self.cutoff_upper + self.cutoff_lower)), bdt
         )
         means = _torch_linspace(start_value, 1.0, self.num_rbf, bdt)
         betas = np.full(
@@ -99,8 +134,9 @@ class ExpNormalSmearing(nn.Module):
     def __call__(self, dist):
         means0, betas0 = self._initial_params()
         if self.trainable:
-            means = self.param("means", lambda rng: means0)
-            betas = self.param("betas", lambda rng: betas0)
+            # see GaussianSmearing: trainable params live in the model dtype
+            means = self.param("means", lambda rng: means0.astype(self.dtype))
+            betas = self.param("betas", lambda rng: betas0.astype(self.dtype))
         else:
             means, betas = means0, betas0
         means = jnp.asarray(means, self.dtype)
