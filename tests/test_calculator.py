@@ -67,3 +67,48 @@ def test_external_unit_transform():
     y1, f1 = ext_kcal.calculate(mol["pos"])
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0) * 23.0609, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0) * 23.0609, rtol=1e-6)
+
+
+def test_external_box_mismatch_raises():
+    """Passing a box to a use_box=False External (or omitting it with
+    use_box=True) must raise instead of silently ignoring it (VERDICT r1)."""
+    import pytest
+
+    model, params, mol = _model()
+    ext = External((model, params), mol["z"][None, :], use_box=False)
+    box = np.diag([20.0, 20.0, 20.0]).astype(np.float32)
+    with pytest.raises(ValueError, match="use_box"):
+        ext.calculate(mol["pos"], box)
+    ext_box = External((model, params), mol["z"][None, :], use_box=True)
+    with pytest.raises(ValueError, match="use_box"):
+        ext_box.calculate(mol["pos"])
+    # correct usage works for both
+    e1, f1 = ext.calculate(mol["pos"])
+    e2, f2 = ext_box.calculate(mol["pos"] + 10.0, box)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5, atol=1e-5)
+
+
+def test_external_atom_filter_all_removed_raises():
+    """An External whose atom filter removes every atom of a replica raises
+    at construction (reference wrappers.py:45-48)."""
+    import pytest
+
+    from utils import load_example_args
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+    import jax as _jax
+
+    args = load_example_args(
+        "graph-network", num_layers=1, embedding_dimension=16, num_rbf=8,
+    )
+    args["atom_filter"] = 1  # keep only Z > 1
+    model = create_model(args)
+    mol = random_molecule(6, seed=2, scale=1.2)
+    batch = pad_molecules([mol], num_atoms=6, num_mol=1)
+    params = model.init(_jax.random.PRNGKey(0), batch)
+    all_h = np.ones((1, 6), np.int64)  # every atom is hydrogen -> filtered out
+    with pytest.raises(ValueError, match="[Aa]tom filter"):
+        External((model, params), all_h)
+    # a mixed replica passes
+    mixed = np.array([[1, 6, 1, 7, 1, 8]], np.int64)
+    External((model, params), mixed)

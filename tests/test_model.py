@@ -154,6 +154,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """remat=True must be numerically identical (same param tree, same
     outputs/forces) — it only changes what the backward stores."""

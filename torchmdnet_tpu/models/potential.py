@@ -76,6 +76,35 @@ class EnergyModel(nn.Module):
         return y
 
 
+def check_atom_filter_batch(module: "EnergyModel", batch: AtomicBatch, context: str = ""):
+    """Loud failure when the atom filter would remove every atom of a sample.
+
+    The reference asserts this inside AtomFilter.forward
+    (wrappers.py:45-48); the static-shape trash-segment redesign cannot
+    raise inside jit, so host code calls this at training/calculator setup.
+    """
+    import numpy as np
+
+    if module.atom_filter <= -1:
+        return
+    z = np.asarray(batch.z)
+    ids = np.asarray(batch.batch)
+    atom_mask = np.asarray(batch.atom_mask)
+    keep = (z > module.atom_filter) & atom_mask
+    m = batch.num_mol
+    # molecules with at least one real atom IN THIS BATCH (on multi-host
+    # shards only locally-held molecules are checkable) must keep >= 1 atom
+    present = np.bincount(ids[atom_mask], minlength=m + 1)[:m]
+    kept = np.bincount(ids[keep], minlength=m + 1)[:m]
+    if np.any((present > 0) & (kept == 0)):
+        bad = int(np.argmax((present > 0) & (kept == 0)))
+        raise ValueError(
+            f"Atom filter (Z > {module.atom_filter}) removed all atoms of "
+            f"sample {bad}{' in ' + context if context else ''}; its energy "
+            "would silently be zero (reference wrappers.py:45-48 asserts here)."
+        )
+
+
 @dataclasses.dataclass
 class Potential:
     """User-facing bundle of (module, hyperparameters).

@@ -20,6 +20,28 @@ class BasePrior(nn.Module):
     def get_init_args(self) -> Dict:
         return {}
 
+    def build_neighbor_list(self, pos, batch_ids, atom_mask):
+        """The prior's internal neighbor list, or None if it has none.
+
+        Priors with pair terms (ZBL/D2/Coulomb) build their own list inside
+        ``post_reduce`` with their own cutoff/capacity; exposing the same
+        build here lets host code verify the static capacity before training
+        or MD starts (the reference hard-errors inside forward via the
+        Distance assert, utils.py:419-424 — inside jit we cannot raise, so
+        the check runs loudly at setup instead).
+        """
+        return None
+
+    def check_neighbor_capacity(self, batch, context: str = ""):
+        """Host-side loud failure when this prior's neighbor list would
+        silently truncate pairs (wrong physics).  Call outside jit at
+        training/MD setup, like NeighborList.raise_on_overflow."""
+        nbl = self.build_neighbor_list(batch.pos, batch.batch, batch.atom_mask)
+        if nbl is not None:
+            name = type(self).__name__
+            ctx = f"the {name} prior" + (f" on {context}" if context else "")
+            nbl.raise_on_overflow(ctx)
+
     def pre_reduce(self, x, z, pos, batch_ids, atom_mask, extra: Optional[Dict] = None):
         """Update per-atom scalar predictions x (N, 1)."""
         return x

@@ -29,6 +29,19 @@ class Coulomb(BasePrior):
             "energy_scale": self.energy_scale,
         }
 
+    def build_neighbor_list(self, pos, batch_ids, atom_mask):
+        # cutoff inf (every same-molecule pair, priors/coulomb.py:23); the
+        # unit scale of pos is irrelevant for an unbounded cutoff
+        return neighbor_list(
+            pos,
+            batch_ids,
+            atom_mask,
+            k=self.max_num_neighbors,
+            cutoff_lower=0.0,
+            cutoff_upper=jnp.inf,
+            loop=False,
+        )
+
     def post_reduce(self, y, z, pos, batch_ids, atom_mask, num_mol, extra=None):
         assert extra is not None and "partial_charges" in extra, (
             "The Coulomb prior requires the dataset to provide per-atom "
@@ -38,15 +51,7 @@ class Coulomb(BasePrior):
         # alpha_nm = alpha/(1e9*distance_scale).  The product alpha*r is
         # scale-invariant, so evaluate in nm directly.
         pos_nm = 1e9 * self.distance_scale * pos
-        nbl = neighbor_list(
-            pos_nm,
-            batch_ids,
-            atom_mask,
-            k=self.max_num_neighbors,
-            cutoff_lower=0.0,
-            cutoff_upper=jnp.inf,
-            loop=False,
-        )
+        nbl = self.build_neighbor_list(pos, batch_ids, atom_mask)
         _, dist = edge_geometry(pos_nm, nbl)
         dist_safe = jnp.where(nbl.mask, dist, 1.0)
         pq = extra["partial_charges"]

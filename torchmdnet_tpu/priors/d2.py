@@ -36,7 +36,9 @@ _C6_RR[:, 1] *= 0.1  # Angstrom -> nm
 
 class D2(BasePrior):
     cutoff_distance: float = 10.0
-    max_num_neighbors: int = 32
+    # default matches the reference (priors/d2.py:40); at the 10 A default
+    # cutoff a small capacity silently truncates on anything dense
+    max_num_neighbors: int = 128
     atomic_number: Tuple[int, ...] = ()
     distance_scale: float = 1e-10
     energy_scale: float = 1.0
@@ -52,8 +54,8 @@ class D2(BasePrior):
             "energy_scale": self.energy_scale,
         }
 
-    def post_reduce(self, y, z, pos, batch_ids, atom_mask, num_mol, extra=None):
-        nbl = neighbor_list(
+    def build_neighbor_list(self, pos, batch_ids, atom_mask):
+        return neighbor_list(
             pos,
             batch_ids,
             atom_mask,
@@ -62,6 +64,9 @@ class D2(BasePrior):
             cutoff_upper=self.cutoff_distance,
             loop=False,
         )
+
+    def post_reduce(self, y, z, pos, batch_ids, atom_mask, num_mol, extra=None):
+        nbl = self.build_neighbor_list(pos, batch_ids, atom_mask)
         _, dist = edge_geometry(pos, nbl)
         # Internal units: nm and J/mol (priors/d2.py:155-160).
         r_ij = dist * (self.distance_scale * 1e9)

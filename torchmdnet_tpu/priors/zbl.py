@@ -32,8 +32,8 @@ class ZBL(BasePrior):
             "energy_scale": self.energy_scale,
         }
 
-    def post_reduce(self, y, z, pos, batch_ids, atom_mask, num_mol, extra=None):
-        nbl = neighbor_list(
+    def build_neighbor_list(self, pos, batch_ids, atom_mask):
+        return neighbor_list(
             pos,
             batch_ids,
             atom_mask,
@@ -42,6 +42,9 @@ class ZBL(BasePrior):
             cutoff_upper=self.cutoff_distance,
             loop=False,
         )
+
+    def post_reduce(self, y, z, pos, batch_ids, atom_mask, num_mol, extra=None):
+        nbl = self.build_neighbor_list(pos, batch_ids, atom_mask)
         _, dist = edge_geometry(pos, nbl)
         zmap = jnp.asarray(self.atomic_number, dtype=pos.dtype)
         zi = zmap[z][:, None]  # (N, 1)

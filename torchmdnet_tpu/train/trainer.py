@@ -33,7 +33,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from torchmdnet_tpu.models.potential import Potential
+from torchmdnet_tpu.models.potential import Potential, check_atom_filter_batch
 from torchmdnet_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from torchmdnet_tpu.train.loggers import CSVLogger, make_loggers
 
@@ -70,10 +70,14 @@ class Trainer:
         self.model = model
         self.h = dict(hparams)
         self.mesh = mesh
+        # multi-host: metrics/checkpoint bookkeeping runs identically on every
+        # process (collectives make losses identical), but file WRITES happen
+        # on process 0 only
+        self.is_main = jax.process_index() == 0
         self.log_dir = self.h.get("log_dir", "/tmp/logs")
         os.makedirs(self.log_dir, exist_ok=True)
-        self.loggers = make_loggers(self.h, self.log_dir)
-        self.csv: CSVLogger = self.loggers[0]
+        self.loggers = make_loggers(self.h, self.log_dir) if self.is_main else []
+        self.csv: Optional[CSVLogger] = self.loggers[0] if self.loggers else None
         self._ckpts = []  # (metric, path) top-k tracking
 
         clip = self.h.get("gradient_clipping", 0.0) or 0.0
@@ -97,6 +101,12 @@ class Trainer:
     def _shard_batch(self, batch):
         if self.mesh is None:
             return batch
+        if jax.process_count() > 1:
+            # each process holds only its loader's shard; assemble the
+            # global mesh-wide arrays (parallel/distributed.py)
+            from torchmdnet_tpu.parallel.distributed import global_batch_from_local
+
+            return global_batch_from_local(batch, self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def put(x):
@@ -175,12 +185,7 @@ class Trainer:
         def body(carry, xs):
             params, opt_state, acc, ey, ef = carry
             batch, lr = xs
-            inner = opt_state[-1]
-            opt_state = opt_state[:-1] + (
-                inner._replace(
-                    hyperparams=dict(inner.hyperparams, learning_rate=lr)
-                ),
-            )
+            opt_state = self._replace_lr(opt_state, lr)
             params, opt_state, acc, ey2, ef2 = self._train_step_impl(
                 params, opt_state, acc, batch, ey, ef
             )
@@ -232,11 +237,31 @@ class Trainer:
             return base * min(1.0, float(state.global_step + 1) / float(warmup))
         return base
 
+    @staticmethod
+    def _lr_state_index(opt_state) -> int:
+        """Position of the inject_hyperparams state in the optax chain.
+
+        Located by structure, not by a hard-coded slot, so adding transforms
+        anywhere in the chain keeps plateau-LR/warmup working."""
+        for i, s in enumerate(opt_state):
+            if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+                return i
+        raise ValueError(
+            "No inject_hyperparams(learning_rate=...) state found in the "
+            "optimizer chain; the LR schedule cannot be applied."
+        )
+
     def _set_lr(self, opt_state, lr):
-        # inject_hyperparams puts hyperparams on the innermost chained state
-        inner = opt_state[-1]
+        inner = opt_state[self._lr_state_index(opt_state)]
         inner.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
         return opt_state
+
+    def _replace_lr(self, opt_state, lr):
+        """Pure (trace-safe) version of _set_lr for use inside jit."""
+        i = self._lr_state_index(opt_state)
+        inner = opt_state[i]
+        new = inner._replace(hyperparams=dict(inner.hyperparams, learning_rate=lr))
+        return opt_state[:i] + (new,) + opt_state[i + 1:]
 
     # --- main loops -------------------------------------------------------
 
@@ -246,11 +271,23 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
 
         batch0 = next(iter(train_loader))
-        # loud config check (reference Distance assert): a too-small
-        # max_num_neighbors silently truncates neighbor lists otherwise
+        # loud config checks (reference Distance assert): a too-small
+        # max_num_neighbors silently truncates neighbor lists otherwise —
+        # for the model's list AND for every prior-internal list (ZBL/D2/
+        # Coulomb build their own with their own cutoff/capacity)
         self.model.neighbors(batch0).raise_on_overflow("the first training batch")
+        for prior in self.model.module.priors:
+            prior.check_neighbor_capacity(batch0, "the first training batch")
+        check_atom_filter_batch(self.model.module, batch0, "the first training batch")
         params = self.model.init(jax.random.PRNGKey(h.get("seed", 1)), batch0)
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process jit requires global Arrays: params/opt_state are
+            # host-identical (same seeded init), replicate them on the mesh
+            from torchmdnet_tpu.parallel.distributed import replicate_to_mesh
+
+            params = replicate_to_mesh(params, self.mesh)
+            opt_state = replicate_to_mesh(opt_state, self.mesh)
         state = TrainerState(params=params, opt_state=opt_state, lr=h.get("lr", 1e-4))
 
         if not ckpt_path and h.get("auto_resume"):
@@ -423,6 +460,12 @@ class Trainer:
 
     def test(self, datamodule, params=None):
         params = params if params is not None else self.state.params
+        if self.mesh is not None and jax.process_count() > 1:
+            from torchmdnet_tpu.parallel.distributed import replicate_to_mesh
+
+            params = replicate_to_mesh(
+                jax.tree_util.tree_map(np.asarray, params), self.mesh
+            )
         metrics = self._run_eval_epoch(params, datamodule.test_dataloader(), "test")
         for logger in self.loggers:
             logger.log_metrics(metrics, step=getattr(self.state, "global_step", 0))
@@ -451,12 +494,15 @@ class Trainer:
         test_l1 = metrics.get("test_total_l1_loss", float("nan"))
         fname = f"epoch={state.epoch}-val_loss={val:.4f}-test_loss={test_l1:.4f}.ckpt"
         path = os.path.join(self.log_dir, fname)
-        self.save_checkpoint(path, state)
+        # every process tracks the same top-k list (metrics are identical);
+        # only process 0 touches the filesystem
+        if self.is_main:
+            self.save_checkpoint(path, state)
         self._ckpts.append((monitored, path))
         self._ckpts.sort(key=lambda t: t[0])
         while len(self._ckpts) > 10:  # save_top_k=10 (scripts/train.py:144)
             _, worst = self._ckpts.pop()
-            if os.path.exists(worst):
+            if self.is_main and os.path.exists(worst):
                 os.remove(worst)
 
     @property
