@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks.systems import SYSTEMS, synthetic_system
+from benchmarks.systems import SYSTEMS, get_system_by_count
 
 MODEL_ALIASES = {
     "gn": "graph-network",
@@ -69,7 +69,8 @@ def bench_model(name, n_atoms, k_hi=12):
     from torchmdnet_tpu.models.potential import create_model
     from torchmdnet_tpu.profiling import device_ms_per_iter
 
-    z, pos = synthetic_system(n_atoms)
+    z, pos, src = get_system_by_count(n_atoms)
+    print(f"# system source: {src}")
     npad = max(8, (n_atoms + 7) // 8 * 8)
     batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
     model = create_model(model_args(name))

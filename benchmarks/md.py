@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks.systems import SYSTEMS, synthetic_system
+from benchmarks.systems import SYSTEMS, get_system
 from benchmarks.inference import model_args
 
 
@@ -45,7 +45,8 @@ def main():
     from torchmdnet_tpu.md import Simulation
 
     n_atoms = SYSTEMS[args.system]
-    z, pos = synthetic_system(n_atoms)
+    z, pos, src = get_system(args.system)
+    print(f"# system source: {src}")
     npad = (n_atoms + 7) // 8 * 8
     batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
 

@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks.systems import synthetic_system
+from benchmarks.systems import get_system_by_count
 
 
 def bench_strategy(strategy, n, k, cutoff):
@@ -24,7 +24,7 @@ def bench_strategy(strategy, n, k, cutoff):
     from torchmdnet_tpu.ops.neighbors import neighbor_list
     from torchmdnet_tpu.profiling import device_ms_per_iter
 
-    z, pos = synthetic_system(n)
+    z, pos, _src = get_system_by_count(n)
     npad = (n + 7) // 8 * 8
     posp = np.zeros((npad, 3), np.float32)
     posp[:n] = pos

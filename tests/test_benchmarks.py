@@ -37,3 +37,25 @@ def test_inference_benchmark_imports():
     assert MODEL_ALIASES["gn"] == "graph-network"
     args = model_args("tensornet")
     assert args["num_layers"] == 2
+
+
+def test_pdb_loader_real_systems():
+    """The runtime PDB reader parses the reference's benchmark systems with
+    the documented atom counts (skipped when the mount is absent)."""
+    import os
+
+    import pytest
+
+    from benchmarks.systems import PDB_DIR, SYSTEMS, get_system
+
+    if not os.path.isdir(PDB_DIR):
+        pytest.skip("reference mount not available")
+    for name in ("ala2", "chignolin", "dhfr"):
+        z, pos, src = get_system(name)
+        assert src == "pdb"
+        assert len(z) == SYSTEMS[name] and pos.shape == (len(z), 3)
+        assert z.min() >= 1 and z.max() <= 53
+        # coordinates are Angstrom-scale: a protein spans tens of A
+        import numpy as np
+
+        assert 3.0 < np.ptp(pos, axis=0).max() < 500.0
