@@ -1,0 +1,42 @@
+"""Shared hyperparameters for the multi-host equality test (imported by both
+the 2-process workers and the single-process reference run)."""
+
+
+def make_hparams(log_dir):
+    from utils import load_example_args
+
+    h = load_example_args("graph-network", remove_prior=True)
+    h.update(
+        num_layers=1,
+        embedding_dimension=16,
+        num_rbf=8,
+        max_num_neighbors=8,
+        derivative=True,
+        batch_size=4,
+        inference_batch_size=4,
+        lr=1e-3,
+        lr_patience=100,
+        lr_factor=0.5,
+        lr_min=1e-7,
+        lr_warmup_steps=2,
+        num_epochs=2,
+        early_stopping_patience=50,
+        train_size=8,
+        val_size=4,
+        test_size=4,
+        seed=1,
+        log_dir=str(log_dir),
+        save_interval=100,
+        test_interval=-1,
+        gradient_clipping=0.0,
+        ema_alpha_y=1.0,
+        ema_alpha_neg_dy=1.0,
+        weight_decay=0.0,
+        num_workers=0,
+        reset_trainer=False,
+        splits=None,
+        standardize=False,
+        steps_per_dispatch=1,
+        auto_resume=False,
+    )
+    return h

@@ -1,0 +1,106 @@
+"""Multi-host training equality.
+
+The reference trains multi-node via Lightning DDP (scripts/train.py:176-180);
+here two REAL OS processes (jax.distributed.initialize over local TCP, 2
+virtual CPU devices each) run the data-parallel trainer and must reproduce
+the single-process trajectory: identical losses per epoch and identical final
+parameters up to float reduction order.
+"""
+
+import csv
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO_DIR = os.path.dirname(TESTS_DIR)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_two_process(log_dir):
+    port = str(_free_port())
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO_DIR + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "distributed_worker.py"),
+             str(rank), port, str(log_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=TESTS_DIR, env=env,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process(tmp_path):
+    dist_dir = tmp_path / "dist"
+    dist_dir.mkdir()
+    outs = _run_two_process(dist_dir)
+    assert "done, global_step=4" in outs[0] + outs[1]
+
+    # single-process reference (same config, no mesh)
+    sys.path.insert(0, TESTS_DIR)
+    from distributed_config import make_hparams
+
+    from torchmdnet_tpu.data.datasets import DummyDataset
+    from torchmdnet_tpu.data.module import DataModule
+    from torchmdnet_tpu.models.potential import create_model
+    from torchmdnet_tpu.train.trainer import Trainer
+
+    ref_dir = tmp_path / "single"
+    ref_dir.mkdir()
+    h = make_hparams(ref_dir)
+    ds = DummyDataset(num_samples=16, num_atoms=5, seed=3)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h, mesh=None)
+    state = trainer.fit(data)
+
+    # losses per epoch match
+    def read_metrics(d):
+        with open(os.path.join(str(d), "metrics.csv")) as f:
+            return list(csv.DictReader(f))
+
+    rows_dist = read_metrics(dist_dir)
+    rows_ref = read_metrics(ref_dir)
+    assert len(rows_dist) == len(rows_ref) == 2
+    for rd, rr in zip(rows_dist, rows_ref):
+        for key in ("train_total_mse_loss", "val_total_mse_loss",
+                    "val_neg_dy_l1_loss"):
+            np.testing.assert_allclose(
+                float(rd[key]), float(rr[key]), rtol=1e-5,
+                err_msg=f"{key} differs between 2-process and single-process",
+            )
+
+    # final parameters match
+    from torchmdnet_tpu.train.checkpoints import load_checkpoint
+
+    ckpt = load_checkpoint(os.path.join(str(dist_dir), "final.ckpt"))
+    import jax
+
+    ref_leaves = jax.tree_util.tree_leaves(state.params)
+    dist_leaves = jax.tree_util.tree_leaves(ckpt["params"])
+    assert len(ref_leaves) == len(dist_leaves)
+    for a, b in zip(ref_leaves, dist_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )

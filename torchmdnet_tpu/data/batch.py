@@ -49,21 +49,34 @@ def pad_molecules(
     num_mol: Optional[int] = None,
     extra_atom_keys: Sequence[str] = (),
     float_dtype=np.float32,
+    mol_id_offset: int = 0,
+    num_mol_global: Optional[int] = None,
 ) -> AtomicBatch:
     """Collate a list of per-molecule dicts into one padded AtomicBatch.
 
     Each dict has at least ``z (n,), pos (n, 3)`` and optionally ``y, neg_dy,
     q, s`` plus extra per-atom fields (e.g. partial_charges).
+
+    Multi-host shards (parallel/distributed.py): when this batch is one
+    process's slice of a larger global batch, ``mol_id_offset`` is the rank
+    of the first local molecule in the global batch and ``num_mol_global``
+    the global molecule capacity — batch ids are then global (padding atoms
+    point at the GLOBAL trash segment) and ``AtomicBatch.num_mol`` carries
+    the global capacity for the segment reductions.
     """
     if num_mol is None:
         num_mol = len(mols)
     assert len(mols) <= num_mol
     total = sum(len(m["z"]) for m in mols)
     assert total <= num_atoms, f"batch needs {total} atom slots, capacity {num_atoms}"
+    if num_mol_global is None:
+        num_mol_global = num_mol
+        assert mol_id_offset == 0
+    trash = num_mol_global
 
     z = np.zeros(num_atoms, dtype=np.int32)
     pos = np.zeros((num_atoms, 3), dtype=float_dtype)
-    batch = np.full(num_atoms, num_mol, dtype=np.int32)
+    batch = np.full(num_atoms, trash, dtype=np.int32)
     atom_mask = np.zeros(num_atoms, dtype=bool)
     mol_mask = np.zeros(num_mol, dtype=bool)
 
@@ -85,7 +98,7 @@ def pad_molecules(
         sl = slice(offset, offset + n)
         z[sl] = m["z"]
         pos[sl] = m["pos"]
-        batch[sl] = i
+        batch[sl] = mol_id_offset + i
         atom_mask[sl] = True
         mol_mask[i] = True
         if has_y:
@@ -106,7 +119,7 @@ def pad_molecules(
         batch=jnp.asarray(batch),
         atom_mask=jnp.asarray(atom_mask),
         mol_mask=jnp.asarray(mol_mask),
-        num_mol=num_mol,
+        num_mol=num_mol_global,
         y=None if y is None else jnp.asarray(y),
         neg_dy=None if neg_dy is None else jnp.asarray(neg_dy),
         q=None if q is None else jnp.asarray(q),

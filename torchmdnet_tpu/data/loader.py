@@ -36,7 +36,17 @@ class PaddedLoader:
         use_native: bool = True,
         prefetch: int = 0,
         float_dtype=np.float32,
+        process_rank: int = 0,
+        process_count: int = 1,
     ):
+        """When ``process_count > 1`` (multi-host training,
+        parallel/distributed.py), every process iterates the SAME global
+        batch sequence (same seed/epoch => same shuffle) but collates only
+        its slice: ``batch_size/process_count`` molecules padded into
+        ``num_atoms_pad/process_count`` atom slots, with GLOBAL molecule ids.
+        The trainer assembles the shards into mesh-wide arrays — the analog
+        of DDP's DistributedSampler (reference scripts/train.py:176-180).
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,11 +57,21 @@ class PaddedLoader:
         self.use_native = use_native
         self.prefetch = prefetch
         self.float_dtype = np.dtype(float_dtype)
+        self.process_rank = process_rank
+        self.process_count = process_count
         if num_atoms_pad is None:
             sizes = np.asarray(dataset.sample_sizes())
             max_size = int(sizes.max()) if len(sizes) else 1
-            num_atoms_pad = _round_up(batch_size * max_size, 8)
+            num_atoms_pad = _round_up(batch_size * max_size, 8 * process_count)
         self.num_atoms_pad = num_atoms_pad
+        if process_count > 1:
+            assert batch_size % process_count == 0, (
+                f"batch_size {batch_size} must divide over {process_count} hosts"
+            )
+            assert num_atoms_pad % process_count == 0, (
+                f"num_atoms_pad {num_atoms_pad} must divide over "
+                f"{process_count} hosts"
+            )
 
     def __len__(self):
         n = len(self.dataset)
@@ -63,6 +83,19 @@ class PaddedLoader:
         for m in mols:
             if "pq" in m and "partial_charges" not in m:
                 m["partial_charges"] = m["pq"]
+        if self.process_count > 1:
+            # this process's shard of the global batch: local capacities,
+            # global molecule ids (assembled by global_batch_from_local)
+            local_bs = self.batch_size // self.process_count
+            return pad_molecules(
+                mols,
+                num_atoms=self.num_atoms_pad // self.process_count,
+                num_mol=local_bs,
+                extra_atom_keys=self.extra_atom_keys,
+                float_dtype=self.float_dtype,
+                mol_id_offset=self.process_rank * local_bs,
+                num_mol_global=self.batch_size,
+            )
         if (
             self.use_native
             and self.float_dtype == np.float32
@@ -108,6 +141,11 @@ class PaddedLoader:
             idxs = order[start : start + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 break
+            if self.process_count > 1:
+                local_bs = self.batch_size // self.process_count
+                idxs = idxs[
+                    self.process_rank * local_bs : (self.process_rank + 1) * local_bs
+                ]
             mols = [self.dataset[int(i)] for i in idxs]
             yield self._collate(mols)
 

@@ -6,6 +6,7 @@ make_splits, optionally computes mean/std of (atomref-corrected) train
 energies, and hands out PaddedLoaders with a shared static atom capacity.
 """
 
+import math
 import os
 from os.path import join
 from typing import Optional
@@ -67,11 +68,18 @@ class DataModule:
         self.val_dataset = Subset(self.dataset, self.idx_val)
         self.test_dataset = Subset(self.dataset, self.idx_test)
 
-        # one shared static atom capacity for all stages -> one compilation
+        # one shared static atom capacity for all stages -> one compilation;
+        # rounded so P('dp')-sharded arrays divide evenly over every device
+        # (multi-host included)
+        import jax
+
         sizes = np.asarray(self.dataset.sample_sizes())
         max_size = int(sizes.max()) if len(sizes) else 1
         bs = max(h["batch_size"], h.get("inference_batch_size") or h["batch_size"])
-        self.num_atoms_pad = _round_up(bs * max_size, 8)
+        mult = 8
+        d = max(1, jax.device_count())
+        mult = mult * d // math.gcd(mult, d)
+        self.num_atoms_pad = _round_up(bs * max_size, mult)
 
         if h.get("standardize"):
             self._standardize()
@@ -90,6 +98,9 @@ class DataModule:
         float_dtype = {16: _np.float32, 32: _np.float32, 64: _np.float64}[
             h.get("precision", 32)
         ]
+        from torchmdnet_tpu.parallel.distributed import process_info
+
+        rank, count = process_info()
         return PaddedLoader(
             dataset,
             batch_size=batch_size,
@@ -99,6 +110,8 @@ class DataModule:
             extra_atom_keys=extra,
             float_dtype=float_dtype,
             prefetch=2 if h.get("num_workers", 0) else 0,
+            process_rank=rank,
+            process_count=count,
         )
 
     def _has_partial_charges(self):

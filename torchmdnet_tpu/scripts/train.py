@@ -45,7 +45,7 @@ def get_args(argv=None):
     parser.add_argument('--ema-alpha-y', type=float, default=1.0, help='The amount of influence of new losses on the exponential moving average of y')
     parser.add_argument('--ema-alpha-neg-dy', type=float, default=1.0, help='The amount of influence of new losses on the exponential moving average of dy')
     parser.add_argument('--ndevices', type=int, default=-1, help='Number of TPU devices for data parallelism, -1 = use all available')
-    parser.add_argument('--num-nodes', type=int, default=1, help='Number of hosts (multi-host via jax.distributed)')
+    parser.add_argument('--num-nodes', type=int, default=1, help='Number of hosts; rendezvous via MASTER_ADDR/MASTER_PORT/NODE_RANK env vars like the reference (jax.distributed.initialize, parallel/distributed.py)')
     parser.add_argument('--precision', type=int, default=32, choices=[16, 32, 64], help='Floating point precision (16 = bfloat16 compute)')
     parser.add_argument('--log-dir', '-l', default='/tmp/logs', help='log file')
     parser.add_argument('--splits', default=None, help='Npz with splits idx_train, idx_val, idx_test')
@@ -126,7 +126,8 @@ def get_args(argv=None):
         args.inference_batch_size = args.batch_size
 
     os.makedirs(args.log_dir, exist_ok=True)
-    save_argparse(args, os.path.join(args.log_dir, "input.yaml"), exclude=["conf"])
+    if int(os.environ.get("NODE_RANK", "0")) == 0:
+        save_argparse(args, os.path.join(args.log_dir, "input.yaml"), exclude=["conf"])
     return args
 
 
@@ -145,6 +146,13 @@ def main(argv=None):
 
     if hparams.get("precision") == 64:
         jax.config.update("jax_enable_x64", True)
+
+    # multi-host rendezvous BEFORE any other jax call so jax.devices() spans
+    # every node (reference DDP launch: scripts/train.py:176-180)
+    from torchmdnet_tpu.parallel.distributed import barrier, initialize_distributed
+
+    initialize_distributed(hparams.get("num_nodes", 1))
+
     import yaml
 
     from torchmdnet_tpu.data.module import DataModule
@@ -166,16 +174,20 @@ def main(argv=None):
         model = create_model(hparams, prior_models, mean=data.mean, std=data.std)
 
     # persist hparams next to checkpoints for resume (utils.py:167-182 parity)
-    with open(os.path.join(args.log_dir, "hparams.yaml"), "w") as f:
-        yaml.safe_dump({k: v for k, v in hparams.items() if k != "conf"}, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(args.log_dir, "hparams.yaml"), "w") as f:
+            yaml.safe_dump({k: v for k, v in hparams.items() if k != "conf"}, f)
 
     mesh = make_mesh(hparams.get("ndevices", -1))
     trainer = Trainer(model, hparams, mesh=mesh)
     state = trainer.fit(data, ckpt_path=hparams.get("load_model"))
 
-    # reload the best checkpoint and run the test set (scripts/train.py:194-202)
+    # reload the best checkpoint and run the test set (scripts/train.py:194-202).
+    # All processes track the same best path; process 0 wrote it — barrier so
+    # the file exists (shared filesystem) before anyone reads it.
+    barrier("best-checkpoint")
     best = trainer.best_model_path
-    if best is not None:
+    if best is not None and os.path.exists(best):
         from flax import serialization
 
         from torchmdnet_tpu.train.checkpoints import load_checkpoint
