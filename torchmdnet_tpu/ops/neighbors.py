@@ -226,7 +226,19 @@ def ell_gather(x, idx, plan=None):
     (PERF.md).  Expressed as a linear_call so the kernel is differentiable
     (and transposable) at every order without a pallas autodiff rule; other
     operands silently use the XLA gather.
+
+    Under ring edge-partitioning (parallel/context.py active inside a
+    shard_map trace) x is this shard's row block and idx holds GLOBAL ids;
+    the gather then runs the ring schedule (parallel/edge_partition.py) with
+    O(N/D) per-device memory at every derivative order.
     """
+    from torchmdnet_tpu.parallel.context import ring_info
+
+    info = ring_info()
+    if info is not None:
+        from torchmdnet_tpu.parallel.edge_partition import ring_ell_gather
+
+        return ring_ell_gather(x, idx, info)
     if _plan_applies(x, idx, plan):
         return jax.custom_derivatives.linear_call(
             _mxu_gather_fn, _mxu_gather_transpose, (idx, plan), x
@@ -489,6 +501,15 @@ def neighbor_list(
     Returns:
         NeighborList with idx/mask of shape (N, k + loop).
     """
+    from torchmdnet_tpu.parallel.context import ring_info
+
+    if ring_info() is not None:
+        raise NotImplementedError(
+            "neighbor_list called inside a ring edge-partitioned scope: this "
+            "shard only sees local atoms, so the list would miss cross-shard "
+            "pairs. Build the list globally outside (model.neighbors / "
+            "ring_apply does this) and pass it in."
+        )
     n = pos.shape[0]
     if strategy == "auto":
         strategy = "cell" if n >= _AUTO_CELL_THRESHOLD else "brute"

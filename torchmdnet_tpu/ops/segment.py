@@ -18,7 +18,18 @@ def segment_reduce(x, segment_ids, num_segments: int, op: str = "sum"):
         segment_ids: (N,) int32 in [0, num_segments).
         num_segments: static segment capacity.
         op: 'sum' | 'add' | 'mean' | 'max'.
+
+    Under ring edge-partitioning (parallel/context.py) x holds only this
+    shard's atoms (ids stay global): the reduction becomes a local partial
+    reduce + psum/pmax over the ring axis, replicated on every shard.
     """
+    from torchmdnet_tpu.parallel.context import ring_info
+
+    info = ring_info()
+    if info is not None:
+        from torchmdnet_tpu.parallel.edge_partition import ring_segment_reduce
+
+        return ring_segment_reduce(x, segment_ids, num_segments, op, info.axis)
     if op in ("sum", "add"):
         return jax.ops.segment_sum(x, segment_ids, num_segments=num_segments)
     if op == "mean":

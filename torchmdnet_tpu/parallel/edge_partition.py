@@ -165,6 +165,27 @@ def make_ring_plan(idx, mask, mesh: Mesh, axis: str = "dp", boundary_capacity: i
     )(idx, mask)
 
 
+def ring_boundary_counts(idx, mask, mesh: Mesh, axis: str = "dp"):
+    """(D, D) boundary-edge counts: row = receiver shard, col = source owner.
+
+    One cheap pass used to size the ring plan capacity tightly (an oversized
+    static capacity inflates every per-hop gather buffer).
+    """
+    n_shards = mesh.shape[axis]
+    n_local = idx.shape[0] // n_shards
+
+    def local(idx_l, mask_l):
+        me = jax.lax.axis_index(axis)
+        owner = idx_l.reshape(-1) // n_local
+        boundary = mask_l.reshape(-1) & (owner != me)
+        key = jnp.where(boundary, owner, n_shards).astype(jnp.int32)
+        return jnp.bincount(key, length=n_shards + 1)[None, :n_shards]
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)
+    )(idx, mask)
+
+
 def ring_gather_aggregate(
     x, idx, mask, w, plan, mesh: Mesh, axis: str = "dp"
 ):
@@ -225,6 +246,304 @@ def ring_gather_aggregate(
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )(x, idx, mask, w, plan_slots, plan_valid)
+
+
+def _ring_gather_impl(x, idx_l, slots, valid, axis: str, d: int):
+    """Per-shard body of the ring-scheduled ell_gather.
+
+    ``out[i, k] = x_global[idx_l[i, k]]`` for every edge whose gathered value
+    can affect the output: internal edges read the resident chunk; boundary
+    edges (mask-true, source on another shard — precompacted into ``slots``
+    by :func:`make_ring_plan`) are emitted as each source chunk passes
+    through on the ring.  Mask-FALSE cross-shard slots (a skin-refined list)
+    come back as zeros instead of the remote row — exact, because every
+    model masks gathered edge values before any reduction (the framework's
+    masked-slot invariant; see models/*.py `jnp.where(nbl.mask...)`).
+    Per-device live memory: the local (Nl, K, F) output plus two (Nl, F)
+    chunk buffers — never the (N, F) table an all-gather materializes.
+    """
+    nl, k = idx_l.shape
+    trail = x.shape[1:]
+    xf = x.reshape(nl, -1)
+    me = jax.lax.axis_index(axis)
+    internal = (idx_l // nl) == me
+    li = jnp.where(internal, idx_l - me * nl, 0).reshape(-1)
+    out = jnp.where(internal.reshape(-1)[:, None], xf[li], 0)
+    # one dummy row absorbs writes from invalid plan slots
+    out = jnp.concatenate([out, jnp.zeros((1, out.shape[1]), out.dtype)], axis=0)
+    flat_idx = idx_l.reshape(-1)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    chunk = xf
+    for t in range(1, d):
+        # the ppermute is data-independent of this hop's scatter, so XLA's
+        # async collective-permute overlaps transfer with compute
+        chunk = jax.lax.ppermute(chunk, axis, perm)
+        o = jnp.mod(me - t, d)
+        s = slots[o]
+        v = valid[o]
+        src = jnp.clip(flat_idx[s] - o * nl, 0, nl - 1)
+        rows = jnp.where(v[:, None], chunk[src], 0)
+        tgt = jnp.where(v, s, nl * k)
+        out = out.at[tgt].set(rows)
+    return out[:-1].reshape((nl, k) + trail)
+
+
+def _ring_transpose_impl(ct, idx_l, slots, valid, axis: str, d: int):
+    """Linear transpose of :func:`_ring_gather_impl`: a ring reduce.
+
+    ``dx[j] = sum of ct[i, k] over slots with idx[i, k] == j`` where j may
+    live on any shard.  The partial destined for owner o is a local
+    segment-sum of that owner's boundary cotangent rows; partials travel the
+    ring accumulating one shard's contribution per hop (reduce-scatter
+    schedule), so per-device memory is again O(Nl * F).  Low-precision
+    cotangents accumulate in f32 like ell_transpose_sum.
+    """
+    nl, k = idx_l.shape
+    trail = ct.shape[2:]
+    ctf = ct.reshape(nl * k, -1)
+    acc_dt = jnp.float32 if ctf.dtype in (jnp.bfloat16, jnp.float16) else ctf.dtype
+    ctf_acc = ctf.astype(acc_dt)
+    me = jax.lax.axis_index(axis)
+    flat_idx = idx_l.reshape(-1)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    def boundary_contrib(o):
+        s = slots[o]
+        v = valid[o]
+        rows = jnp.where(v[:, None], ctf_acc[s], 0)
+        tgt = jnp.where(v, flat_idx[s] - o * nl, nl)
+        return jax.ops.segment_sum(rows, tgt, num_segments=nl + 1)[:nl]
+
+    def internal_contrib():
+        internal = (flat_idx // nl) == me
+        rows = jnp.where(internal[:, None], ctf_acc, 0)
+        tgt = jnp.where(internal, flat_idx - me * nl, nl)
+        return jax.ops.segment_sum(rows, tgt, num_segments=nl + 1)[:nl]
+
+    if d == 1:
+        carry = internal_contrib()
+    else:
+        # reduce-scatter ring: the carry born on shard s is the partial for
+        # owner s+d-1; each hop the transiting shard adds its contribution to
+        # that same owner, finishing with the internal (own-shard) part
+        carry = boundary_contrib(jnp.mod(me + d - 1, d))
+        for t in range(1, d):
+            carry = jax.lax.ppermute(carry, axis, perm)
+            if t == d - 1:
+                carry = carry + internal_contrib()
+            else:
+                carry = carry + boundary_contrib(jnp.mod(me + d - 1 - t, d))
+    return carry.astype(ctf.dtype).reshape((nl,) + trail)
+
+
+def _remap_ring_plan(slots, valid, k_full: int, k: int):
+    """Re-key flat slot ids when a gather runs on the self-loop-dropped
+    sublist (NeighborList.without_self_loops drops column 0).
+
+    Self edges point at the own row — always internal — so the plan's
+    boundary SET is unchanged; only the flat (i, k) -> slot mapping shifts
+    by one column.
+    """
+    if k == k_full:
+        return slots, valid
+    assert k == k_full - 1, (
+        f"ring gather: neighbor list width {k} does not match the plan's "
+        f"K={k_full} (or K-1 after a self-loop drop)"
+    )
+    i = slots // k_full
+    kk = slots % k_full
+    return i * k + jnp.maximum(kk - 1, 0), valid & (kk >= 1)
+
+
+def ring_ell_gather(x, idx_l, info):
+    """Drop-in ``ell_gather`` under ring edge-partitioning (context.py).
+
+    Expressed as a ``linear_call`` pair so EVERY derivative order — forces,
+    force-training grad-of-grad — runs the matching ring schedule instead of
+    an all-gather; transpose-of-transpose is the forward again.
+    """
+    axis, d, k_full = info.axis, info.n_shards, info.k_full
+    slots, valid = _remap_ring_plan(info.slots, info.valid, k_full, idx_l.shape[1])
+
+    def fwd(res, x):
+        idx_l, slots, valid = res
+        return _ring_gather_impl(x, idx_l, slots, valid, axis, d)
+
+    def trans(res, ct):
+        idx_l, slots, valid = res
+        return _ring_transpose_impl(ct, idx_l, slots, valid, axis, d)
+
+    return jax.custom_derivatives.linear_call(fwd, trans, (idx_l, slots, valid), x)
+
+
+def ring_segment_reduce(x, segment_ids, num_segments: int, op: str, axis: str):
+    """Two-stage per-molecule readout under ring partitioning: local partial
+    segment reduce + a psum/pmax over the ring axis (the shard_map analog of
+    the GSPMD path's all-reduce; out value is replicated)."""
+    if op in ("sum", "add", "mean"):
+        total = jax.ops.segment_sum(x, segment_ids, num_segments=num_segments)
+        total = jax.lax.psum(total, axis)
+        if op != "mean":
+            return total
+        count = jax.ops.segment_sum(
+            jnp.ones((x.shape[0],), dtype=x.dtype),
+            segment_ids,
+            num_segments=num_segments,
+        )
+        count = jnp.maximum(jax.lax.psum(count, axis), 1.0)
+        return total / count.reshape((num_segments,) + (1,) * (x.ndim - 1))
+    if op == "max":
+        part = jax.ops.segment_max(x, segment_ids, num_segments=num_segments)
+        return jax.lax.pmax(part, axis)
+    raise ValueError(f"Unknown reduce op: {op}")
+
+
+def ring_potential(
+    model,
+    batch: AtomicBatch,
+    mesh: Mesh,
+    axis: str = "dp",
+    nbl=None,
+    boundary_capacity: int = 2048,
+    check_overflow: bool = True,
+):
+    """Prepare the model-integrated edge-partitioned path.
+
+    Atom rows (and with them all edges, ELL receivers being row-aligned) are
+    block-sharded over ``axis``; the UNMODIFIED model runs inside shard_map
+    with every ``ell_gather`` routed through the ring schedule and every
+    molecular reduction through the two-stage psum (parallel/context.py).
+    No device ever holds a full (N, H) feature table — the memory scaling
+    the reference (single-GPU, OOMs at STMV forward) never had, and the
+    GSPMD all-gather path (:func:`edge_sharded_apply`) does not provide.
+
+    Args:
+        model: a Potential (models/potential.py).
+        nbl: prebuilt global NeighborList; built via ``model.neighbors(batch)``
+            when None (its own program — the natural MD split).
+        boundary_capacity: max boundary edges per (shard, source-owner) pair;
+            overflow is checked loudly like every static capacity.
+
+    Returns:
+        (energy_fn, sharded_batch): ``energy_fn(params, batch) -> y (M, ...)``
+        is jittable and differentiable to any order (forces = grad wrt
+        batch.pos, force training = grad-of-grad); ``sharded_batch`` is the
+        input batch laid out on the mesh.  The neighbor arrays and ring plan
+        are closed over as mesh-resident constants — rebuild via a fresh call
+        when the neighbor list changes (MD rebuild cadence).
+    """
+    from torchmdnet_tpu.ops.neighbors import NeighborList
+    from torchmdnet_tpu.parallel.context import RingInfo, ring_scope
+    from torchmdnet_tpu.priors.base import BasePrior
+
+    module = model.module
+    for p in module.priors:
+        if type(p).build_neighbor_list is not BasePrior.build_neighbor_list:
+            raise NotImplementedError(
+                f"Prior {type(p).__name__} builds an internal neighbor list; "
+                "pair priors are not supported under ring edge-partitioning "
+                "yet (their list would only see local atoms). Run them on the "
+                "GSPMD path (edge_sharded_apply) or drop them."
+            )
+    if nbl is None:
+        nbl = model.neighbors(batch)
+    d = mesh.shape[axis]
+    n = batch.num_atoms
+    assert n % d == 0, f"padded atom count {n} must divide over {d} shards"
+
+    sharded = shard_batch_by_atoms(batch, mesh, axis)
+    row = NamedSharding(mesh, P(axis))
+    idx = jax.device_put(nbl.idx, row)
+    mask = jax.device_put(nbl.mask, row)
+    nnb = jax.device_put(nbl.n_neighbors, row)
+    import numpy as _np
+
+    # size the plan capacity to the ACTUAL boundary maximum (one cheap count
+    # pass + host fetch): an oversized static capacity inflates every
+    # per-hop gather buffer; boundary_capacity acts as the upper limit.
+    counts = _np.asarray(ring_boundary_counts(idx, mask, mesh, axis))
+    need = int(counts.max()) if counts.size else 0
+    if need > boundary_capacity:
+        raise ValueError(
+            f"Ring boundary capacity exceeded: a (shard, source-owner) pair "
+            f"has {need} boundary edges, above "
+            f"boundary_capacity={boundary_capacity}. Raise it, or spatially "
+            "sort the batch (data.batch.spatial_sort) so cross-shard edges "
+            "stay a surface term."
+        )
+    cap = max(256, -(-need // 256) * 256)
+    plan_slots, plan_valid, n_dropped = make_ring_plan(idx, mask, mesh, axis, cap)
+    if check_overflow:
+        assert int(_np.asarray(n_dropped).sum()) == 0  # cap covers need
+        nbl.raise_on_overflow("ring_apply")
+
+    self_loops = nbl.self_loops
+    batch_specs = jax.tree_util.tree_map(
+        lambda leaf: P(axis)
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n
+        else P(),
+        sharded,
+    )
+
+    def local_energy(params, b_local, idx_l, mask_l, nnb_l, slots, valid):
+        nbl_l = NeighborList(
+            idx=idx_l, mask=mask_l, n_neighbors=nnb_l, self_loops=self_loops
+        )
+        info = RingInfo(
+            axis=axis, n_shards=d, slots=slots, valid=valid,
+            k_full=idx_l.shape[1],
+        )
+        with ring_scope(info):
+            return module.apply(params, b_local, None, nbl_l)
+
+    smapped = shard_map(
+        local_energy,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+
+    def energy_fn(params, b):
+        return smapped(params, b, idx, mask, nnb, plan_slots, plan_valid)
+
+    return energy_fn, sharded
+
+
+def ring_apply(
+    model,
+    params,
+    batch: AtomicBatch,
+    mesh: Mesh,
+    axis: str = "dp",
+    nbl=None,
+    boundary_capacity: int = 2048,
+    derivative=None,
+    check_overflow: bool = True,
+):
+    """Energy (+forces) of one large batch with O(N/D) per-device memory.
+
+    Convenience one-shot wrapper over :func:`ring_potential`; forces come
+    back row-sharded on the same layout as ``batch.pos``.
+    """
+    if derivative is None:
+        derivative = model.derivative
+    energy_fn, sharded = ring_potential(
+        model, batch, mesh, axis=axis, nbl=nbl,
+        boundary_capacity=boundary_capacity, check_overflow=check_overflow,
+    )
+    if not derivative:
+        return jax.jit(energy_fn)(params, sharded), None
+
+    @jax.jit
+    def energy_and_forces(params, b):
+        def esum(pos):
+            y = energy_fn(params, b.replace(pos=pos))
+            return y.sum(), y
+
+        grads, y = jax.grad(esum, has_aux=True)(b.pos)
+        return y, -grads
+
+    return energy_and_forces(params, sharded)
 
 
 def two_stage_molecular_reduce(per_atom, batch_ids, num_mol: int, mesh: Mesh, axis: str = "dp"):
