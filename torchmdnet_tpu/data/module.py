@@ -79,6 +79,7 @@ class DataModule:
         mult = 8
         d = max(1, jax.device_count())
         mult = mult * d // math.gcd(mult, d)
+        self._pad_multiple = mult
         self.num_atoms_pad = _round_up(bs * max_size, mult)
 
         if h.get("standardize"):
@@ -101,17 +102,22 @@ class DataModule:
         from torchmdnet_tpu.parallel.distributed import process_info
 
         rank, count = process_info()
+        num_buckets = int(h.get("loader_buckets", 1) or 1)
         return PaddedLoader(
             dataset,
             batch_size=batch_size,
             shuffle=shuffle,
             seed=h.get("seed", 1),
-            num_atoms_pad=self.num_atoms_pad,
+            # bucketed loaders derive per-bucket capacities from the subset
+            # they serve; the flat path keeps the shared one-compilation cap
+            num_atoms_pad=None if num_buckets > 1 else self.num_atoms_pad,
             extra_atom_keys=extra,
             float_dtype=float_dtype,
             prefetch=2 if h.get("num_workers", 0) else 0,
             process_rank=rank,
             process_count=count,
+            num_buckets=num_buckets,
+            pad_multiple=self._pad_multiple,
         )
 
     def _has_partial_charges(self):

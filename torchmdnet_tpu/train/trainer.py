@@ -353,7 +353,9 @@ class Trainer:
         ema_y = jnp.asarray(state.ema.get("train_y", 0.0), jnp.float32)
         ema_f = jnp.asarray(state.ema.get("train_neg_dy", 0.0), jnp.float32)
         spd = int(h.get("steps_per_dispatch", 1) or 1)
-        pending = []  # buffered batches for the multi-step dispatch
+        # buffered batches per static shape (bucketed loaders emit several
+        # capacities; a lax.scan chunk must stack equal shapes)
+        pending: Dict[int, list] = {}
 
         def single_step(batch):
             # lr is read at the CURRENT global_step, then the step advances —
@@ -374,34 +376,35 @@ class Trainer:
                 ema_f = ema_f_next
             state.global_step += 1
 
-        def flush_multi():
+        def flush_multi(chunk):
             nonlocal acc, ema_y, ema_f
             lrs = []
-            for _ in range(len(pending)):
+            for _ in range(len(chunk)):
                 lrs.append(self._current_lr(state))
                 state.global_step += 1
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pending)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunk)
             state.params, state.opt_state, acc, ema_y, ema_f = (
                 self._train_step_multi(
                     state.params, state.opt_state, acc, stacked,
                     ema_y, ema_f, jnp.asarray(lrs, jnp.float32),
                 )
             )
-            pending.clear()
 
         for batch in loader:
             batch = self._shard_batch(batch)
             n += 1
             if spd > 1:
-                pending.append(batch)
-                # flush only FULL chunks (one compiled shape); the remainder
-                # goes through the single-step path below
-                if len(pending) == spd:
-                    flush_multi()
+                key = batch.num_atoms
+                pending.setdefault(key, []).append(batch)
+                # flush only FULL chunks (one compiled shape); remainders
+                # go through the single-step path below
+                if len(pending[key]) == spd:
+                    flush_multi(pending.pop(key))
             else:
                 single_step(batch)
-        for batch in pending:  # chunk remainder
-            single_step(batch)
+        for chunk in pending.values():  # per-shape remainders
+            for batch in chunk:
+                single_step(batch)
         pending.clear()
         totals, ys, fs = (float(v) for v in np.asarray(acc))  # ONE fetch/epoch
         state.ema["train_y"] = float(np.asarray(ema_y))
@@ -418,7 +421,7 @@ class Trainer:
         sums = {}
         n = 0
         spd = int(h.get("steps_per_dispatch", 1) or 1)
-        pending = []
+        pending: Dict[int, list] = {}  # per static shape, as in training
 
         def add(out):
             for k, v in out.items():
@@ -430,17 +433,18 @@ class Trainer:
             batch = self._shard_batch(batch)
             n += 1
             if spd > 1:
-                pending.append(batch)
-                if len(pending) == spd:
+                key = batch.num_atoms
+                pending.setdefault(key, []).append(batch)
+                if len(pending[key]) == spd:
                     stacked = jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack(xs), *pending
+                        lambda *xs: jnp.stack(xs), *pending.pop(key)
                     )
                     add(self._eval_step_multi(params, stacked))
-                    pending.clear()
             else:
                 add(self._eval_step(params, batch))
-        for batch in pending:  # chunk remainder
-            add(self._eval_step(params, batch))
+        for chunk in pending.values():  # per-shape remainders
+            for batch in chunk:
+                add(self._eval_step(params, batch))
         sums = {k: float(np.asarray(v)) for k, v in sums.items()}
         n = max(n, 1)
         metrics = {}
