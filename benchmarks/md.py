@@ -35,26 +35,36 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cell-capacity", type=int, default=48)
     ap.add_argument("--k", type=int, default=80, help="max_num_neighbors")
+    ap.add_argument("--gather-plan", action="store_true",
+                    help="spatial-sort atoms and route gathers via the one-hot MXU plan")
+    ap.add_argument("--plan-width", type=int, default=640)
+    ap.add_argument("--fused-attention", action="store_true",
+                    help="fused Pallas edge kernel (ET only; implies --gather-plan)")
     args = ap.parse_args()
+    if args.fused_attention:
+        args.gather_plan = True
 
     import jax
     import numpy as np
 
-    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
     from torchmdnet_tpu.models.potential import create_model
     from torchmdnet_tpu.md import Simulation
 
     n_atoms = SYSTEMS[args.system]
     z, pos, src = get_system(args.system)
     print(f"# system source: {src}")
-    npad = (n_atoms + 7) // 8 * 8
+    npad = (n_atoms + 31) // 32 * 32 if args.gather_plan else (n_atoms + 7) // 8 * 8
     batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
+    if args.gather_plan:
+        batch, _ = spatial_sort(batch)
 
     margs = model_args(args.model)
     margs.update(
         bf16_messages=args.bf16_messages,
         remat=args.remat,
         max_num_neighbors=args.k,
+        fused_attention=args.fused_attention,
     )
     model = create_model(margs)
     params = model.init(jax.random.PRNGKey(0), batch)
@@ -68,7 +78,11 @@ def main():
         friction_per_fs=0.01,
         neighbor_skin=args.skin,
         rebuild_every=args.rebuild_every,
-        neighbor_kwargs={"cell_capacity": args.cell_capacity},
+        neighbor_kwargs={
+            "cell_capacity": args.cell_capacity,
+            "gather_plan": args.gather_plan,
+            "plan_width": args.plan_width,
+        },
     )
     sim.set_velocities_from_temperature(300.0)
 

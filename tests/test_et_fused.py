@@ -1,0 +1,207 @@
+"""Fused ET edge-phase kernel (ops/pallas/et_message.py) vs the composable math.
+
+The kernel runs in interpret mode on CPU here; its TPU lowering is exercised
+by the benchmarks.  The reference implementation below mirrors
+models/et.py's composable branch line for line (which is itself golden-
+verified against the PyTorch reference), so agreement transfers parity.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import *  # noqa: F401,F403  (platform/x64 setup)
+from torchmdnet_tpu.ops.cutoff import cosine_cutoff
+from torchmdnet_tpu.ops.activations import act_fn_mapping
+from torchmdnet_tpu.ops.neighbors import neighbor_list
+from torchmdnet_tpu.ops.pallas.et_message import (
+    FusedETConfig,
+    _ones_block,
+    fused_et_messages,
+)
+from torchmdnet_tpu.ops.pallas.onehot_gather import make_block_gather_plan
+
+H = 128
+HEADS = 8
+RBF = 16
+N = 64
+K_REQ = 12
+
+
+def _setup(seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    pos = jnp.asarray(rng.uniform(0, 6.0, (N, 3)).astype(np.float32))
+    batch = jnp.zeros(N, jnp.int32)
+    mask = jnp.ones(N, bool)
+    nbl = neighbor_list(
+        pos, batch, mask, k=K_REQ, cutoff_lower=0.0, cutoff_upper=3.0, loop=True
+    )
+    plan = make_block_gather_plan(nbl.idx, block_rows=8, width=256)
+    assert int(plan.overflow) == 0 and int(plan.inv_overflow) == 0
+    k = nbl.idx.shape[1]
+    r = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32), dtype)
+    delta = pos[nbl.idx] - pos[:, None, :]
+    dist = jnp.where(nbl.mask, jnp.linalg.norm(delta, axis=-1), 0.0)
+    inv = jnp.where(dist > 0, 1.0, 0.0) / jnp.where(dist > 0, dist, 1.0)
+    dirs = tuple((delta[..., c] * inv).astype(dtype) for c in range(3))
+    cutm = (cosine_cutoff(dist, 0.0, 3.0) * nbl.mask).astype(dtype)
+    msk = nbl.mask.astype(dtype)
+    inputs = dict(
+        q=r(N, H), k=r(N, H), v=r(N, 3 * H),
+        vec0=r(N, H), vec1=r(N, H), vec2=r(N, H),
+        ea=r(N, k, RBF) * 0.3,
+        cutm=cutm, msk=msk,
+        dir0=dirs[0], dir1=dirs[1], dir2=dirs[2],
+        wdk=r(RBF, H) * 0.2, bdk=r(1, H) * 0.1,
+        wdv=r(RBF, 3 * H) * 0.2, bdv=r(1, 3 * H) * 0.1,
+    )
+    return nbl, plan, inputs
+
+
+def _reference(plan_idx, inputs, act="silu", attn_act="silu",
+               has_dk=True, has_dv=True):
+    """models/et.py composable edge phase, f32."""
+    a = act_fn_mapping[act]
+    aa = act_fn_mapping[attn_act]
+    q, k, v = inputs["q"], inputs["k"], inputs["v"]
+    vec = (inputs["vec0"], inputs["vec1"], inputs["vec2"])
+    ea, cutm, msk = inputs["ea"], inputs["cutm"], inputs["msk"]
+    dirs = (inputs["dir0"], inputs["dir1"], inputs["dir2"])
+    ones = _ones_block(H, HEADS, q.dtype)
+    dk = a(ea @ inputs["wdk"] + inputs["bdk"][0]) if has_dk else None
+    dv = a(ea @ inputs["wdv"] + inputs["bdv"][0]) if has_dv else None
+    k_j = k[plan_idx]
+    prod = q[:, None, :] * k_j
+    if dk is not None:
+        prod = prod * dk
+    attn = aa(prod @ ones) * cutm[..., None]
+    v_j = v[plan_idx]
+    if dv is not None:
+        v_j = v_j * dv
+    x_m, vw1, vw2 = jnp.split(v_j, 3, axis=-1)
+    x_agg = (x_m * attn).sum(axis=1, dtype=jnp.float32)
+    vec_agg = []
+    for c in range(3):
+        msg = vec[c][plan_idx] * vw1 * msk[..., None] + vw2 * dirs[c][..., None]
+        vec_agg.append(msg.sum(axis=1, dtype=jnp.float32))
+    return x_agg, jnp.concatenate(vec_agg, axis=-1)
+
+
+def _cfg(**kw):
+    d = dict(h=H, heads=HEADS, act="silu", attn_act="silu",
+             has_dk=True, has_dv=True, interpret=True)
+    d.update(kw)
+    return FusedETConfig(**d)
+
+
+def _call_fused(cfg, plan, inputs):
+    order = ["q", "k", "v", "vec0", "vec1", "vec2", "ea", "cutm", "msk",
+             "dir0", "dir1", "dir2", "wdk", "bdk", "wdv", "bdv"]
+    return fused_et_messages(cfg, plan, *[inputs[n] for n in order])
+
+
+@pytest.mark.parametrize("influence", ["both", "keys", "values", "none"])
+def test_fused_forward_matches_reference(influence):
+    nbl, plan, inputs = _setup()
+    has_dk = influence in ("keys", "both")
+    has_dv = influence in ("values", "both")
+    cfg = _cfg(has_dk=has_dk, has_dv=has_dv)
+    x_f, vec_f = _call_fused(cfg, plan, inputs)
+    x_r, vec_r = _reference(nbl.idx, inputs, has_dk=has_dk, has_dv=has_dv)
+    np.testing.assert_allclose(x_f, x_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(vec_f, vec_r, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("acts", [("silu", "silu"), ("ssp", "tanh")])
+def test_fused_forward_activations(acts):
+    nbl, plan, inputs = _setup(seed=3)
+    cfg = _cfg(act=acts[0], attn_act=acts[1])
+    x_f, vec_f = _call_fused(cfg, plan, inputs)
+    x_r, vec_r = _reference(nbl.idx, inputs, act=acts[0], attn_act=acts[1])
+    np.testing.assert_allclose(x_f, x_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(vec_f, vec_r, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gradients_match_reference():
+    nbl, plan, inputs = _setup(seed=1)
+    cfg = _cfg()
+    names = ["q", "k", "v", "vec0", "vec1", "vec2", "ea", "cutm",
+             "dir0", "dir1", "dir2", "wdk", "bdk", "wdv", "bdv"]
+    wx = jnp.asarray(np.random.RandomState(7).randn(N, H).astype(np.float32))
+    wv = jnp.asarray(np.random.RandomState(8).randn(N, 3 * H).astype(np.float32))
+
+    def loss_fused(diff_inputs):
+        full = dict(inputs, **diff_inputs)
+        x, vec = _call_fused(cfg, plan, full)
+        return jnp.sum(x * wx) + jnp.sum(vec * wv)
+
+    def loss_ref(diff_inputs):
+        full = dict(inputs, **diff_inputs)
+        x, vec = _reference(nbl.idx, full)
+        return jnp.sum(x * wx) + jnp.sum(vec * wv)
+
+    diff = {n: inputs[n] for n in names}
+    g_f = jax.grad(loss_fused)(diff)
+    g_r = jax.grad(loss_ref)(diff)
+    for n in names:
+        np.testing.assert_allclose(
+            g_f[n], g_r[n], rtol=2e-4, atol=2e-4, err_msg=f"grad wrt {n}"
+        )
+
+
+def test_fused_second_order_raises():
+    nbl, plan, inputs = _setup(seed=2)
+    cfg = _cfg()
+
+    def loss(q):
+        x, _ = _call_fused(cfg, plan, dict(inputs, q=q))
+        return jnp.sum(x**2)
+
+    g = jax.grad(loss)(inputs["q"])  # first order fine
+    assert g.shape == (N, H)
+    with pytest.raises(Exception):
+        jax.hessian(loss)(inputs["q"])
+
+
+def test_fused_model_matches_composable():
+    """Full TorchMD_ET fused vs composable, bf16 messages, identical params."""
+    from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
+    from torchmdnet_tpu.models.potential import create_model
+
+    rng = np.random.RandomState(11)
+    n_real = 61
+    z = rng.randint(1, 9, n_real)
+    pos = rng.uniform(0, 7.0, (n_real, 3)).astype(np.float32)
+    batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=64, num_mol=1)
+    batch, _ = spatial_sort(batch)
+
+    args = dict(
+        model="equivariant-transformer", embedding_dimension=H, num_layers=2,
+        num_rbf=RBF, rbf_type="expnorm", trainable_rbf=False, activation="silu",
+        attn_activation="silu", neighbor_embedding=True, num_heads=HEADS,
+        distance_influence="both", cutoff_lower=0.0, cutoff_upper=5.0,
+        max_z=100, max_num_neighbors=64, derivative=True, output_model="Scalar",
+        prior_model=None, reduce_op="add", precision=32, atom_filter=-1,
+        bf16_messages=True,
+    )
+    base = create_model(dict(args))
+    fused = create_model(dict(args, fused_attention=True))
+    params = base.init(jax.random.PRNGKey(0), batch)
+    params_f = fused.init(jax.random.PRNGKey(0), batch)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    ), "fused path must produce the identical parameter tree"
+
+    nbl = fused.neighbors(batch, gather_plan=True, plan_block_rows=8, plan_width=256)
+    nbl.raise_on_overflow("test")
+    y0, f0 = base.energy_and_forces(params, batch, nbl=nbl)
+    y1, f1 = fused.energy_and_forces(params, batch, nbl=nbl)
+    # both paths are bf16 message passing; they differ only in reduction
+    # order, so agreement is tight relative to the bf16 scale
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=2e-2, atol=2e-2)
+    scale = np.abs(np.asarray(f0)).max()
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f0), atol=4e-2 * max(scale, 1.0)
+    )

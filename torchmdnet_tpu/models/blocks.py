@@ -42,8 +42,11 @@ def torch_linear_bias(fan_in: int):
 embed_normal = nn.initializers.normal(stddev=1.0)
 
 
-def XavierDense(features: int, use_bias: bool = True, dtype=None):
-    """Dense layer matching the reference's xavier_uniform_ + zero-bias init."""
+def XavierDense(features: int, use_bias: bool = True, dtype=None, name=None):
+    """Dense layer matching the reference's xavier_uniform_ + zero-bias init.
+
+    ``name`` pins the flax auto-name when a branch must reproduce another
+    branch's parameter tree (see et.py's fused_attention path)."""
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -51,6 +54,7 @@ def XavierDense(features: int, use_bias: bool = True, dtype=None):
         bias_init=zeros,
         dtype=dtype,
         param_dtype=jnp.float32,
+        name=name,
     )
 
 

@@ -21,6 +21,7 @@ Everything under jit is statically shaped; forces and force-training
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,33 @@ def vproj_column_perm(hidden_channels: int, num_heads: int) -> np.ndarray:
     return g * 3 * hd + p * hd + d
 
 
+class _FilterParams(nn.Module):
+    """Parameter-only stand-in for a distance-filter XavierDense.
+
+    The fused edge kernel (ops/pallas/et_message.py) consumes the dk/dv
+    filter weights directly instead of calling the Dense module, but the
+    parameter tree must stay IDENTICAL to the composable path so checkpoints
+    interchange: this module declares the same {kernel, bias} params with
+    the same init under an explicitly pinned "Dense_i" name.
+    """
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.xavier_uniform(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class EquivariantMultiHeadAttention(nn.Module):
     """One ET attention layer (reference torchmd_et.py:208-352) in ELL form."""
 
@@ -68,6 +96,7 @@ class EquivariantMultiHeadAttention(nn.Module):
     cutoff_lower: float
     cutoff_upper: float
     bf16_messages: bool = False
+    fused_attention: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -102,6 +131,90 @@ class EquivariantMultiHeadAttention(nn.Module):
         vec2 = tuple(vc[:, h : 2 * h] for vc in vec123)
         vec3 = tuple(vc[:, 2 * h :] for vc in vec123)
         vec_dot = sum(v1 * v2 for v1, v2 in zip(vec1, vec2))  # (N, H)
+
+        use_fused = (
+            self.fused_attention
+            and nbl.gather_plan is not None
+            and self.bf16_messages
+            and h % 128 == 0
+        )
+        if use_fused:
+            # Entire edge phase (gather + filters + attention + products +
+            # K-reduce) in one Pallas kernel; no (N, K, F) HBM intermediates
+            # (ops/pallas/et_message.py).  Differentiable once: forces/MD and
+            # energy training work, force training must run unfused.
+            from torchmdnet_tpu.ops.pallas.et_message import (
+                FusedETConfig,
+                fused_et_messages,
+            )
+
+            # Pin the Dense auto-names the composable branch would produce so
+            # both parameter trees are identical (q/k/v/vec_proj took 0-3).
+            di = 4
+            has_dk = self.distance_influence in ("keys", "both")
+            has_dv = self.distance_influence in ("values", "both")
+            if has_dk:
+                wdk, bdk = _FilterParams(h, self.num_rbf, name=f"Dense_{di}")()
+                di += 1
+            else:
+                wdk = jnp.zeros((self.num_rbf, h), jnp.float32)
+                bdk = jnp.zeros((h,), jnp.float32)
+            if has_dv:
+                wdv, bdv = _FilterParams(3 * h, self.num_rbf, name=f"Dense_{di}")()
+                di += 1
+            else:
+                wdv = jnp.zeros((self.num_rbf, 3 * h), jnp.float32)
+                bdv = jnp.zeros((3 * h,), jnp.float32)
+            o_name = f"Dense_{di}"
+
+            bf = jnp.bfloat16
+            f32 = jnp.float32
+            # per-edge scalars ride f32 (the kernel casts after broadcasting;
+            # Mosaic cannot insert a minor dim on 16-bit operands)
+            cutm = (
+                cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
+                * nbl.mask
+            ).astype(f32)
+            cfg = FusedETConfig(
+                h=h,
+                heads=heads,
+                act=self.activation,
+                attn_act=self.attn_activation,
+                has_dk=has_dk,
+                has_dv=has_dv,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+            x_agg, vec_cat = fused_et_messages(
+                cfg,
+                nbl.gather_plan,
+                q.astype(bf),
+                k.astype(bf),
+                v.astype(bf),
+                vec[0].astype(bf),
+                vec[1].astype(bf),
+                vec[2].astype(bf),
+                edge_attr.astype(bf),
+                cutm,
+                nbl.mask.astype(f32),
+                edge_dir[0].astype(f32),
+                edge_dir[1].astype(f32),
+                edge_dir[2].astype(f32),
+                wdk.astype(bf),
+                bdk.astype(bf).reshape(1, -1),
+                wdv.astype(bf),
+                bdv.astype(bf).reshape(1, -1),
+            )
+            acc_dtype = x.dtype
+            x_agg = x_agg.astype(acc_dtype)
+            vec_agg = [
+                vec_cat[:, c * h : (c + 1) * h].astype(acc_dtype) for c in range(3)
+            ]
+            o1, o2, o3 = jnp.split(
+                XavierDense(3 * h, dtype=self.dtype, name=o_name)(x_agg), 3, axis=-1
+            )
+            dx = vec_dot * o2 + o3
+            dvec = tuple(v3 * o1 + agg for v3, agg in zip(vec3, vec_agg))
+            return dx, dvec
 
         # TPU layout note: every per-edge tensor stays (..., H) with the full
         # H=128 channels on the lane axis.  A (N, K, heads, hd=16) layout pads
@@ -184,6 +297,10 @@ class TorchMD_ET(nn.Module):
     max_num_neighbors: int = 32
     remat: bool = False  # see graph_network.TorchMD_GN.remat
     bf16_messages: bool = False  # bf16 edge intermediates, f32 accumulation
+    # Route the edge phase through the fused Pallas kernel when a gather
+    # plan is present (requires bf16_messages; differentiable once — forces
+    # and energy training, NOT force training).  See ops/pallas/et_message.py.
+    fused_attention: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -259,6 +376,7 @@ class TorchMD_ET(nn.Module):
                 self.cutoff_lower,
                 self.cutoff_upper,
                 bf16_messages=self.bf16_messages,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype,
                 name=f"EquivariantMultiHeadAttention_{li}",
             )(x, vec, nbl, dist, edge_attr, edge_dir)

@@ -1,0 +1,573 @@
+"""Pallas TPU kernel: the ET attention edge phase as ONE fused kernel.
+
+The measured floor of the composable ET layer is HBM traffic through its
+(N, K, F) edge intermediates: gathered k/v/vec rows, the dk/dv distance
+filters, attention, and the message products are each written to and read
+back from HBM (PERF.md: ~4.5 ms/layer forward at DHFR; gathers at 28% of
+roofline, everything else at 520-760 GB/s — already bandwidth-bound, so the
+only way down is moving fewer bytes).
+
+This kernel computes the whole edge phase of one EquivariantMultiHeadAttention
+layer (reference torchmd_et.py:314-347: message + aggregate) without ever
+materializing an (N, K, F) tensor in HBM.  Per receiver block (R rows):
+
+    load the block's compacted source table xw = [k|v|vec_x|vec_y|vec_z][u]
+      (BlockGatherPlan, ops/pallas/onehot_gather.py) into VMEM, then per
+      K-chunk entirely on-chip:
+        dk/dv  = act(edge_attr @ Wdk/Wdv + b)           (MXU)
+        rows   = onehot(local) @ xw                     (MXU, exact gather)
+        attn   = attn_act((q * k_j * dk) @ ones_block) * cutoff_mask
+        x_m|vw1|vw2 = v_j * dv
+        x_acc   += sum_kc x_m * attn                    (f32 accumulators)
+        vec_acc += sum_kc vec_j * vw1 * mask + vw2 * dir
+    write x_agg (R, H) and vec_agg (R, 3H).
+
+HBM traffic per layer drops to: read edge_attr/cutoff/dir/mask
+(~N*K*(RBF+4) bf16) plus the compacted source tables (NB*W*7H — several-fold
+fewer rows than the N*K*7H direct gathers), write N*4H.
+
+The backward is a second fused kernel that RECOMPUTES the chunk quantities
+from the same inputs (no (N, K, F) residuals exist to store) and emits every
+cotangent in one pass; source-row cotangents accumulate on the MXU
+(onehot^T @ d_rows -> (W, 7H) f32 per block) and are scattered back
+scatter-free through the plan's inverse table.
+
+Differentiability: exposed through jax.custom_vjp, so forces/MD (one reverse
+pass) work; force TRAINING (grad-of-grad) does not — JAX cannot
+differentiate a custom_vjp backward.  TorchMD_ET only routes here when
+fused_attention=True is explicitly configured; the composable path remains
+the default and the trainer rejects the flag for force losses.
+
+Reference semantics matched: torchmd_et.py:314-347 (message + aggregate),
+with the ELL/mask conventions of models/et.py.
+"""
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchmdnet_tpu.ops.pallas.onehot_gather import BlockGatherPlan
+
+_LOG2 = math.log(2.0)
+
+
+def _act(name, x):
+    if name == "silu":
+        return x * jax.nn.sigmoid(x)
+    if name == "ssp":
+        return jax.nn.softplus(x) - _LOG2
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(f"unsupported activation for the fused ET kernel: {name}")
+
+
+def _act_v(name, x):
+    """_act computed in f32 (Mosaic cannot lower bf16 transcendentals whose
+    internal constants are f32), result cast back to the operand dtype."""
+    return _act(name, x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dact_v(name, x):
+    return _dact(name, x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dact(name, x):
+    """d/dx of _act(name, x), closed form (the backward kernel recomputes)."""
+    if name == "silu":
+        s = jax.nn.sigmoid(x)
+        return s * (1.0 + x * (1.0 - s))
+    if name == "ssp":
+        return jax.nn.sigmoid(x)
+    if name == "tanh":
+        t = jnp.tanh(x)
+        return 1.0 - t * t
+    if name == "sigmoid":
+        s = jax.nn.sigmoid(x)
+        return s * (1.0 - s)
+    raise ValueError(name)
+
+
+class FusedETConfig(NamedTuple):
+    """Static (hashable) config of the fused edge phase."""
+
+    h: int
+    heads: int
+    act: str
+    attn_act: str
+    has_dk: bool
+    has_dv: bool
+    interpret: bool
+    kc: int = 16  # K-chunk size (rows per MXU call = R * kc)
+
+
+def _chunks(k: int, kc: int):
+    """Static chunk starts/sizes covering K (tail chunk may be smaller)."""
+    out = []
+    c0 = 0
+    while c0 < k:
+        out.append((c0, min(kc, k - c0)))
+        c0 += kc
+    return out
+
+
+def _ones_block(h: int, heads: int, dtype):
+    """(H, H) block matrix: 1 where both lanes belong to the same head.
+
+    prod @ ones_block puts each head's lane-sum on every one of its own
+    lanes — the per-head attention reduction as one matmul (PERF.md layout
+    rule: never carry a trailing head_dim axis)."""
+    hd = h // heads
+    return jnp.asarray(np.kron(np.eye(heads), np.ones((hd, hd))), dtype)
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    local_ref, xw_ref, q_ref, ea_ref, cutm_ref, msk_ref,
+    d0_ref, d1_ref, d2_ref,
+    wdk_ref, bdk_ref, wdv_ref, bdv_ref, ones_ref,
+    x_out_ref, vec_out_ref,
+    *, w, kc, h, act, attn_act, has_dk, has_dv,
+):
+    r, k = local_ref.shape
+    # ea_ref holds the block's edge features as 2D (R*K, RBF) rows — small
+    # lane widths (RBF < 128) only appear in 2D where Mosaic needs no shape
+    # cast; all reshapes in this kernel keep the 128-multiple lane dim.
+    rk, rbf = ea_ref.shape
+    xw = xw_ref[0]  # (W, 7H)
+    bf = xw.dtype
+    ones = ones_ref[...]
+    q3 = q_ref[...][:, None, :]  # (R, 1, H)
+    x_acc = jnp.zeros((r, h), jnp.float32)
+    v_acc = [jnp.zeros((r, h), jnp.float32) for _ in range(3)]
+    # distance filters for the whole block in one matmul each
+    ea2 = ea_ref[...]
+    dk_f3 = dv_f3 = None
+    if has_dk:
+        pre = jax.lax.dot(ea2, wdk_ref[...], preferred_element_type=jnp.float32)
+        dk_f3 = _act_v(act, pre.astype(bf) + bdk_ref[...]).reshape(r, k, h)
+    if has_dv:
+        pre = jax.lax.dot(ea2, wdv_ref[...], preferred_element_type=jnp.float32)
+        dv_f3 = _act_v(act, pre.astype(bf) + bdv_ref[...]).reshape(r, k, 3 * h)
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        # exact gather rows via one-hot matmul (f32 compare: 3D bools are
+        # not lowerable, see onehot_gather.py)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(jnp.float32)
+        loc = local_ref[:, c0 : c0 + kn].astype(jnp.float32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(bf)
+        g2 = jax.lax.dot(oh, xw, preferred_element_type=jnp.float32).astype(bf)
+        # attention: per-head sum of q*k_j*dk via the ones-block matmul
+        prod3 = q3 * g2[:, :h].reshape(r, kn, h)
+        if dk_f3 is not None:
+            prod3 = prod3 * dk_f3[:, c0 : c0 + kn, :]
+        pre_a = jax.lax.dot(
+            prod3.reshape(rc, h), ones, preferred_element_type=jnp.float32
+        ).astype(bf)
+        cutm3 = cutm_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
+        attn3 = _act_v(attn_act, pre_a.reshape(r, kn, h)) * cutm3
+        # value path
+        vdv3 = g2[:, h : 4 * h].reshape(r, kn, 3 * h)
+        if dv_f3 is not None:
+            vdv3 = vdv3 * dv_f3[:, c0 : c0 + kn, :]
+        x_m3 = vdv3[:, :, :h]
+        x_acc = x_acc + (x_m3 * attn3).astype(jnp.float32).sum(axis=1)
+        msk3 = msk_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
+        vm1_3 = vdv3[:, :, h : 2 * h] * msk3
+        vw2_3 = vdv3[:, :, 2 * h :]
+        for c, dref in enumerate((d0_ref, d1_ref, d2_ref)):
+            vec_c3 = g2[:, (4 + c) * h : (5 + c) * h].reshape(r, kn, h)
+            dir3 = dref[:, c0 : c0 + kn][:, :, None].astype(bf)
+            # vw2*dir needs no mask: dir == 0 on self/invalid slots
+            msg3 = vec_c3 * vm1_3 + vw2_3 * dir3
+            v_acc[c] = v_acc[c] + msg3.astype(jnp.float32).sum(axis=1)
+    x_out_ref[...] = x_acc
+    for c in range(3):
+        vec_out_ref[:, c * h : (c + 1) * h] = v_acc[c]
+
+
+# --------------------------------------------------------------------------
+# backward kernel (recomputes the forward chunk, then backprops it)
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    local_ref, xw_ref, q_ref, ea_ref, cutm_ref, msk_ref,
+    d0_ref, d1_ref, d2_ref,
+    wdk_ref, bdk_ref, wdv_ref, bdv_ref, ones_ref,
+    ct_x_ref, ct_vec_ref,
+    dq_ref, dea_ref, dcutm_ref, dd0_ref, dd1_ref, dd2_ref, dxw_ref,
+    dwdk_ref, dbdk_ref, dwdv_ref, dbdv_ref,
+    *, w, kc, h, act, attn_act, has_dk, has_dv,
+):
+    r, k = local_ref.shape
+    rk, rbf = ea_ref.shape
+    xw = xw_ref[0]
+    bf = xw.dtype
+    ones = ones_ref[...]
+    q3 = q_ref[...][:, None, :]
+    ct_x3 = ct_x_ref[...][:, None, :].astype(bf)  # (R, 1, H)
+    ct_vec = ct_vec_ref[...]  # (R, 3H) f32
+    dq_acc = jnp.zeros((r, h), jnp.float32)
+    dxw_acc = jnp.zeros((w, 7 * h), jnp.float32)
+    # ---- recompute the block's distance filters once (as in _fwd_kernel)
+    ea2 = ea_ref[...]
+    dk_f3 = pre_k2 = None
+    if has_dk:
+        pre_k2 = (
+            jax.lax.dot(ea2, wdk_ref[...], preferred_element_type=jnp.float32)
+            .astype(bf) + bdk_ref[...]
+        )  # (RK, H)
+        dk_f3 = _act_v(act, pre_k2).reshape(r, k, h)
+    dv_f3 = pre_v2 = None
+    if has_dv:
+        pre_v2 = (
+            jax.lax.dot(ea2, wdv_ref[...], preferred_element_type=jnp.float32)
+            .astype(bf) + bdv_ref[...]
+        )  # (RK, 3H)
+        dv_f3 = _act_v(act, pre_v2).reshape(r, k, 3 * h)
+    # filter cotangents collect K-chunk by K-chunk (concatenated after the
+    # loop); their MLP backward runs once per block
+    d_dk_chunks = []
+    d_dv_chunks = []
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        # ---- recompute the forward chunk
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(jnp.float32)
+        loc = local_ref[:, c0 : c0 + kn].astype(jnp.float32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(bf)
+        g2 = jax.lax.dot(oh, xw, preferred_element_type=jnp.float32).astype(bf)
+        kj3 = g2[:, :h].reshape(r, kn, h)
+        vj3 = g2[:, h : 4 * h].reshape(r, kn, 3 * h)
+        dk3 = dk_f3[:, c0 : c0 + kn, :] if has_dk else None
+        dv3 = dv_f3[:, c0 : c0 + kn, :] if has_dv else None
+        prod3 = q3 * kj3
+        if dk3 is not None:
+            prod3 = prod3 * dk3
+        pre_a3 = (
+            jax.lax.dot(prod3.reshape(rc, h), ones, preferred_element_type=jnp.float32)
+            .astype(bf).reshape(r, kn, h)
+        )
+        a_act3 = _act_v(attn_act, pre_a3)
+        cutm3 = cutm_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
+        attn3 = a_act3 * cutm3
+        vdv3 = vj3 * dv3 if dv3 is not None else vj3
+        x_m3 = vdv3[:, :, :h]
+        msk3 = msk_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
+        vm1_3 = vdv3[:, :, h : 2 * h] * msk3
+        vw2_3 = vdv3[:, :, 2 * h :]
+        # ---- backward through the chunk
+        d_attn3 = ct_x3 * x_m3
+        d_xm3 = ct_x3 * attn3
+        d_prea3 = _dact_v(attn_act, pre_a3) * cutm3 * d_attn3
+        dcutm_ref[:, c0 : c0 + kn] = (
+            (a_act3 * d_attn3).astype(jnp.float32).sum(axis=-1)
+        )
+        d_prod3 = (
+            jax.lax.dot(
+                d_prea3.reshape(rc, h).astype(bf), ones,
+                preferred_element_type=jnp.float32,
+            ).astype(bf).reshape(r, kn, h)
+        )
+        qk3 = d_prod3 * q3  # shared factor of d_kj and d_dk
+        if dk3 is not None:
+            d_kj3 = qk3 * dk3
+            d_dk_chunks.append(qk3 * kj3)
+            dq_acc = dq_acc + (d_prod3 * kj3 * dk3).astype(jnp.float32).sum(axis=1)
+        else:
+            d_kj3 = qk3
+            dq_acc = dq_acc + (d_prod3 * kj3).astype(jnp.float32).sum(axis=1)
+        # vector-message backward
+        d_vw1_3 = jnp.zeros((r, kn, h), bf)
+        d_vw2_3 = jnp.zeros((r, kn, h), bf)
+        d_vec3 = []
+        for c, (dref, ddref) in enumerate(
+            ((d0_ref, dd0_ref), (d1_ref, dd1_ref), (d2_ref, dd2_ref))
+        ):
+            ctc3 = ct_vec[:, c * h : (c + 1) * h][:, None, :].astype(bf)
+            vec_c3 = g2[:, (4 + c) * h : (5 + c) * h].reshape(r, kn, h)
+            dir3 = dref[:, c0 : c0 + kn][:, :, None].astype(bf)
+            d_vw1_3 = d_vw1_3 + ctc3 * vec_c3 * msk3
+            d_vw2_3 = d_vw2_3 + ctc3 * dir3
+            d_vec3.append(ctc3 * vm1_3)
+            ddref[:, c0 : c0 + kn] = (
+                (ctc3 * vw2_3).astype(jnp.float32).sum(axis=-1)
+            )
+        d_vdv2 = jnp.concatenate(
+            [d_xm3.reshape(rc, h), d_vw1_3.reshape(rc, h), d_vw2_3.reshape(rc, h)],
+            axis=-1,
+        )  # (RC, 3H)
+        if dv3 is not None:
+            d_vj2 = d_vdv2 * dv3.reshape(rc, 3 * h)
+            d_dv_chunks.append(
+                (d_vdv2 * vj3.reshape(rc, 3 * h)).reshape(r, kn, 3 * h)
+            )
+        else:
+            d_vj2 = d_vdv2
+        # source-row cotangents back through the one-hot gather: G^T matmul
+        d_g2 = jnp.concatenate(
+            [d_kj3.reshape(rc, h), d_vj2] + [d.reshape(rc, h) for d in d_vec3],
+            axis=-1,
+        )  # (RC, 7H)
+        dxw_acc = dxw_acc + jax.lax.dot_general(
+            oh, d_g2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # ---- distance-filter MLP backward, once for the whole block
+    d_ea2 = jnp.zeros((rk, rbf), jnp.float32)
+    if has_dk:
+        d_dk_f3 = jnp.concatenate(d_dk_chunks, axis=1)  # (R, K, H)
+        d_prek2 = _dact_v(act, pre_k2) * d_dk_f3.reshape(rk, h)
+        d_ea2 = d_ea2 + jax.lax.dot_general(
+            d_prek2, wdk_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwdk_ref[...] = jax.lax.dot_general(
+            ea2, d_prek2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[None]
+        dbdk_ref[...] = d_prek2.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
+    else:
+        dwdk_ref[...] = jnp.zeros_like(dwdk_ref)
+        dbdk_ref[...] = jnp.zeros_like(dbdk_ref)
+    if has_dv:
+        d_dv_f3 = jnp.concatenate(d_dv_chunks, axis=1)  # (R, K, 3H)
+        d_prev2 = _dact_v(act, pre_v2) * d_dv_f3.reshape(rk, 3 * h)
+        d_ea2 = d_ea2 + jax.lax.dot_general(
+            d_prev2, wdv_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwdv_ref[...] = jax.lax.dot_general(
+            ea2, d_prev2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[None]
+        dbdv_ref[...] = d_prev2.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
+    else:
+        dwdv_ref[...] = jnp.zeros_like(dwdv_ref)
+        dbdv_ref[...] = jnp.zeros_like(dbdv_ref)
+    dea_ref[...] = d_ea2.astype(dea_ref.dtype)
+    dq_ref[...] = dq_acc
+    dxw_ref[...] = dxw_acc[None]
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers
+# --------------------------------------------------------------------------
+
+
+def _nk(r, k):
+    return pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
+
+
+def _common_in_specs(r, k, rbf, w, f7, h):
+    return [
+        _nk(r, k),  # local
+        pl.BlockSpec((1, w, f7), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, h), lambda b: (b, 0), memory_space=pltpu.VMEM),  # q
+        # ea rides as 2D (N*K, RBF): its sub-128 lane width never meets a
+        # reshape that way (Mosaic "unsupported shape cast" otherwise)
+        pl.BlockSpec((r * k, rbf), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        _nk(r, k),  # cutm
+        _nk(r, k),  # msk
+        _nk(r, k), _nk(r, k), _nk(r, k),  # dir x/y/z
+        # broadcast weight operands
+        pl.BlockSpec((rbf, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rbf, 3 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _run_fwd(cfg: FusedETConfig, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv, bdv):
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    r = n // nb
+    h = cfg.h
+    rbf = ea.shape[-1]
+    kern = functools.partial(
+        _fwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act, attn_act=cfg.attn_act,
+        has_dk=cfg.has_dk, has_dv=cfg.has_dv,
+    )
+    ones = _ones_block(h, cfg.heads, xw.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_common_in_specs(r, k, rbf, w, 7 * h, h),
+        out_specs=[
+            pl.BlockSpec((r, h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 3 * h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((n, 3 * h), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(
+        plan.local, xw, q, ea.reshape(n * k, rbf), cutm, msk,
+        dirs[0], dirs[1], dirs[2], wdk, bdk, wdv, bdv, ones,
+    )
+
+
+def _run_bwd(cfg: FusedETConfig, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv, bdv, ct_x, ct_vec):
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    r = n // nb
+    h = cfg.h
+    rbf = ea.shape[-1]
+    f7 = 7 * h
+    kern = functools.partial(
+        _bwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act, attn_act=cfg.attn_act,
+        has_dk=cfg.has_dk, has_dv=cfg.has_dv,
+    )
+    ones = _ones_block(h, cfg.heads, xw.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_common_in_specs(r, k, rbf, w, f7, h)
+        + [
+            pl.BlockSpec((r, h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 3 * h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r * k, rbf), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            _nk(r, k),
+            _nk(r, k), _nk(r, k), _nk(r, k),  # ddir x/y/z
+            pl.BlockSpec((1, w, f7), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rbf, h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rbf, 3 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), jnp.float32),  # dq
+            jax.ShapeDtypeStruct((n * k, rbf), ea.dtype),  # dea (2D)
+            jax.ShapeDtypeStruct((n, k), jnp.float32),  # dcutm
+            jax.ShapeDtypeStruct((n, k), jnp.float32),  # ddir x
+            jax.ShapeDtypeStruct((n, k), jnp.float32),  # ddir y
+            jax.ShapeDtypeStruct((n, k), jnp.float32),  # ddir z
+            jax.ShapeDtypeStruct((nb, w, f7), jnp.float32),  # dxw partials
+            jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, rbf, 3 * h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, 3 * h), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(
+        plan.local, xw, q, ea.reshape(n * k, rbf), cutm, msk,
+        dirs[0], dirs[1], dirs[2], wdk, bdk, wdv, bdv, ones, ct_x, ct_vec,
+    )
+
+
+def _inverse_scatter(dxw, plan: BlockGatherPlan):
+    """(NB, W, F) per-block source-cotangent partials -> (N, F), scatter-free
+    through the plan's inverse table (same ending as onehot_transpose_sum)."""
+    nb, w, f = dxw.shape
+    flat = dxw.reshape(nb * w, f)
+    slots = plan.inv_blocks * w + plan.inv_pos  # (N, A)
+    picked = flat[slots]
+    picked = jnp.where(plan.inv_valid[..., None], picked, 0.0)
+    return picked.sum(axis=1)
+
+
+def _zero_ct(x):
+    if hasattr(x, "dtype") and (
+        jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_
+    ):
+        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
+# --------------------------------------------------------------------------
+# public op
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_et_messages(
+    cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
+    wdk, bdk, wdv, bdv,
+):
+    """Fused ET edge phase: (x_agg (N, H), vec_agg (N, 3H)) in f32.
+
+    Args (all arrays one message dtype, normally bf16):
+        cfg: FusedETConfig (static).
+        plan: BlockGatherPlan over the layer's ELL neighbor idx.
+        q, k: (N, H) node projections; v: (N, 3H); vec0..2: (N, H) the xyz
+            components of the running vector features.
+        ea: (N, K, RBF) edge RBF features.
+        cutm: (N, K) cosine_cutoff(dist) * mask; msk: (N, K) 1.0/0.0 mask.
+        dir0..2: (N, K) edge direction components (zero on self/invalid).
+        wdk/bdk/wdv/bdv: distance-filter MLP params, bdk/bdv shaped (1, F);
+            pass zeros-shaped dummies when cfg.has_dk/has_dv is False.
+
+    Differentiable ONCE (custom_vjp): forces and energy training work;
+    force training (grad-of-grad) must use the composable path.
+    """
+    out, _ = _fwd_rule(
+        cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
+        wdk, bdk, wdv, bdv,
+    )
+    return out
+
+
+def _fwd_rule(cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2, wdk, bdk, wdv, bdv):
+    src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
+    xw = src[plan.u]  # (NB, W, 7H) — the only HBM gather of the edge phase
+    dirs = (dir0, dir1, dir2)
+    x_agg, vec_agg = _run_fwd(cfg, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv, bdv)
+    res = (plan, q, ea, cutm, msk, dir0, dir1, dir2, xw, wdk, bdk, wdv, bdv)
+    return (x_agg, vec_agg), res
+
+
+def _bwd_rule(cfg, res, ct):
+    plan, q, ea, cutm, msk, dir0, dir1, dir2, xw, wdk, bdk, wdv, bdv = res
+    ct_x, ct_vec = ct
+    h = cfg.h
+    outs = _run_bwd(
+        cfg, plan, q, ea, cutm, msk, (dir0, dir1, dir2), xw,
+        wdk, bdk, wdv, bdv,
+        ct_x.astype(jnp.float32), ct_vec.astype(jnp.float32),
+    )
+    dq, dea, dcutm, dd0, dd1, dd2, dxw, dwdk_p, dbdk_p, dwdv_p, dbdv_p = outs
+    d_src = _inverse_scatter(dxw, plan).astype(q.dtype)  # (N, 7H)
+    d_plan = jax.tree_util.tree_map(_zero_ct, plan)
+    return (
+        d_plan,
+        dq.astype(q.dtype),
+        d_src[:, :h],
+        d_src[:, h : 4 * h],
+        d_src[:, 4 * h : 5 * h],
+        d_src[:, 5 * h : 6 * h],
+        d_src[:, 6 * h :],
+        dea.reshape(ea.shape).astype(ea.dtype),
+        dcutm.astype(cutm.dtype),
+        jnp.zeros_like(msk),  # 0/1 mask data: no meaningful gradient
+        dd0.astype(dir0.dtype),
+        dd1.astype(dir1.dtype),
+        dd2.astype(dir2.dtype),
+        dwdk_p.sum(axis=0).astype(wdk.dtype),
+        dbdk_p.sum(axis=0).astype(bdk.dtype),
+        dwdv_p.sum(axis=0).astype(wdv.dtype),
+        dbdv_p.sum(axis=0).astype(bdv.dtype),
+    )
+
+
+fused_et_messages.defvjp(_fwd_rule, _bwd_rule)
