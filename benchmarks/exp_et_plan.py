@@ -24,7 +24,8 @@ from torchmdnet_tpu.models.potential import create_model
 from torchmdnet_tpu.profiling import device_ms_per_iter
 
 
-def bench(name, n_atoms, bf16, plan, k_hi=12, plan_width=512, fused=False):
+def bench(name, n_atoms, bf16, plan, k_hi=12, plan_width=512, fused=False,
+          plan_rows=32):
     z, pos, src = get_system_by_count(n_atoms)
     npad = max(32, (n_atoms + 31) // 32 * 32)
     batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
@@ -34,7 +35,12 @@ def bench(name, n_atoms, bf16, plan, k_hi=12, plan_width=512, fused=False):
     args["fused_attention"] = fused
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
-    nbl = model.neighbors(batch, gather_plan=plan, plan_width=plan_width)
+    nbl = model.neighbors(
+        batch, gather_plan=plan, plan_width=plan_width,
+        plan_block_rows=plan_rows,
+        # smaller receiver blocks spread each source over more blocks
+        plan_inv_capacity=16 * max(1, 32 // plan_rows),
+    )
     nbl.raise_on_overflow("bench")
 
     def step_f(carry, eps):
@@ -59,7 +65,10 @@ def main():
     ap.add_argument("--model", default="equivariant-transformer")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--plan-width", type=int, default=512)
+    ap.add_argument("--plan-rows", type=int, default=32)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--modes", default=None,
+                    help="comma list from {base,plan,fused}; overrides defaults")
     args = ap.parse_args()
     bf16 = not args.f32
     print(f"platform={jax.devices()[0].platform} model={args.model} bf16={bf16}")
@@ -68,11 +77,16 @@ def main():
     modes = [("plan", True, False), ("fused", True, True)]
     if not args.skip_baseline:
         modes.insert(0, ("base", False, False))
+    if args.modes:
+        byname = {"base": ("base", False, False), "plan": ("plan", True, False),
+                  "fused": ("fused", True, True)}
+        modes = [byname[m] for m in args.modes.split(",")]
     for s in args.systems.split(","):
         n = SYSTEMS[s]
         for label, plan, fused in modes:
             ms_f, ms_fb, src = bench(
-                args.model, n, bf16, plan, plan_width=args.plan_width, fused=fused
+                args.model, n, bf16, plan, plan_width=args.plan_width,
+                fused=fused, plan_rows=args.plan_rows,
             )
             print(
                 f"| {s} ({src}) | {n} | {label} | {ms_f:.2f} | {ms_fb:.2f} |",

@@ -183,6 +183,9 @@ class EquivariantMultiHeadAttention(nn.Module):
                 has_dk=has_dk,
                 has_dv=has_dv,
                 interpret=jax.devices()[0].platform != "tpu",
+                # kc=8 keeps the backward kernel inside the 16 MB scoped-VMEM
+                # limit at K~80 (kc=16 peaked at 31 MB on DHFR)
+                kc=8,
             )
             x_agg, vec_cat = fused_et_messages(
                 cfg,

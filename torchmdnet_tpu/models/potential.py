@@ -155,6 +155,7 @@ class Potential:
         gather_plan: bool = False,
         plan_block_rows: int = 32,
         plan_width: int = 512,
+        plan_inv_capacity: int = 16,
         **cell_kwargs,
     ):
         """Build the representation's neighbor list as a standalone (jitted)
@@ -218,7 +219,8 @@ class Potential:
                 r //= 2
             if batch.num_atoms % r == 0:
                 plan = make_block_gather_plan(
-                    nbl.idx, block_rows=r, width=plan_width
+                    nbl.idx, block_rows=r, width=plan_width,
+                    inv_capacity=plan_inv_capacity,
                 )
                 nbl = nbl.replace(gather_plan=plan)
         return nbl

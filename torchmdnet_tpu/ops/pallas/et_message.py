@@ -223,20 +223,22 @@ def _bwd_kernel(
     dxw_acc = jnp.zeros((w, 7 * h), jnp.float32)
     # ---- recompute the block's distance filters once (as in _fwd_kernel)
     ea2 = ea_ref[...]
-    dk_f3 = pre_k2 = None
+    # pre-activations are NOT kept across the loop (scoped-VMEM pressure);
+    # the filter-MLP backward recomputes them after the loop
+    dk_f3 = None
     if has_dk:
-        pre_k2 = (
+        pre = (
             jax.lax.dot(ea2, wdk_ref[...], preferred_element_type=jnp.float32)
             .astype(bf) + bdk_ref[...]
         )  # (RK, H)
-        dk_f3 = _act_v(act, pre_k2).reshape(r, k, h)
-    dv_f3 = pre_v2 = None
+        dk_f3 = _act_v(act, pre).reshape(r, k, h)
+    dv_f3 = None
     if has_dv:
-        pre_v2 = (
+        pre = (
             jax.lax.dot(ea2, wdv_ref[...], preferred_element_type=jnp.float32)
             .astype(bf) + bdv_ref[...]
         )  # (RK, 3H)
-        dv_f3 = _act_v(act, pre_v2).reshape(r, k, 3 * h)
+        dv_f3 = _act_v(act, pre).reshape(r, k, 3 * h)
     # filter cotangents collect K-chunk by K-chunk (concatenated after the
     # loop); their MLP backward runs once per block
     d_dk_chunks = []
@@ -329,6 +331,10 @@ def _bwd_kernel(
     d_ea2 = jnp.zeros((rk, rbf), jnp.float32)
     if has_dk:
         d_dk_f3 = jnp.concatenate(d_dk_chunks, axis=1)  # (R, K, H)
+        pre_k2 = (
+            jax.lax.dot(ea2, wdk_ref[...], preferred_element_type=jnp.float32)
+            .astype(bf) + bdk_ref[...]
+        )
         d_prek2 = _dact_v(act, pre_k2) * d_dk_f3.reshape(rk, h)
         d_ea2 = d_ea2 + jax.lax.dot_general(
             d_prek2, wdk_ref[...],
@@ -346,6 +352,10 @@ def _bwd_kernel(
         dbdk_ref[...] = jnp.zeros_like(dbdk_ref)
     if has_dv:
         d_dv_f3 = jnp.concatenate(d_dv_chunks, axis=1)  # (R, K, 3H)
+        pre_v2 = (
+            jax.lax.dot(ea2, wdv_ref[...], preferred_element_type=jnp.float32)
+            .astype(bf) + bdv_ref[...]
+        )
         d_prev2 = _dact_v(act, pre_v2) * d_dv_f3.reshape(rk, 3 * h)
         d_ea2 = d_ea2 + jax.lax.dot_general(
             d_prev2, wdv_ref[...],
@@ -363,7 +373,7 @@ def _bwd_kernel(
         dbdv_ref[...] = jnp.zeros_like(dbdv_ref)
     dea_ref[...] = d_ea2.astype(dea_ref.dtype)
     dq_ref[...] = dq_acc
-    dxw_ref[...] = dxw_acc[None]
+    dxw_ref[...] = dxw_acc.astype(dxw_ref.dtype)[None]
 
 
 # --------------------------------------------------------------------------
@@ -463,7 +473,7 @@ def _run_bwd(cfg: FusedETConfig, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv
             jax.ShapeDtypeStruct((n, k), jnp.float32),  # ddir x
             jax.ShapeDtypeStruct((n, k), jnp.float32),  # ddir y
             jax.ShapeDtypeStruct((n, k), jnp.float32),  # ddir z
-            jax.ShapeDtypeStruct((nb, w, f7), jnp.float32),  # dxw partials
+            jax.ShapeDtypeStruct((nb, w, f7), xw.dtype),  # dxw partials
             jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
             jax.ShapeDtypeStruct((nb, rbf, 3 * h), jnp.float32),
@@ -484,7 +494,7 @@ def _inverse_scatter(dxw, plan: BlockGatherPlan):
     slots = plan.inv_blocks * w + plan.inv_pos  # (N, A)
     picked = flat[slots]
     picked = jnp.where(plan.inv_valid[..., None], picked, 0.0)
-    return picked.sum(axis=1)
+    return picked.sum(axis=1, dtype=jnp.float32)
 
 
 def _zero_ct(x):

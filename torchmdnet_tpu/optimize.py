@@ -52,6 +52,7 @@ class OptimizedPotential:
         box=None,
         skin: float = 0.0,
         rebuild_every: int = 20,
+        neighbor_kwargs: Optional[dict] = None,
     ):
         self.model = model
         self.params = params
@@ -68,9 +69,14 @@ class OptimizedPotential:
         hi = model.args.get("cutoff_upper", 5.0)
 
         if self.split:
+            # neighbor_kwargs forwards strategy/capacity/gather_plan options
+            # (gather_plan=True + spatially sorted atoms routes gathers
+            # through the one-hot MXU kernels; with fused_attention models it
+            # feeds the fused edge-phase kernel)
             self._nbl_fn = jax.jit(
                 lambda pos: model.neighbors(
-                    example.replace(pos=pos), box=box, skin=self.skin
+                    example.replace(pos=pos), box=box, skin=self.skin,
+                    **(neighbor_kwargs or {}),
                 )
             )
 
@@ -88,6 +94,11 @@ class OptimizedPotential:
                 bad = bad | nbl.overflow()
                 if nbl.cell_overflow is not None:
                     bad = bad | nbl.cell_overflow
+                if nbl.gather_plan is not None:
+                    # atoms drifting from the setup-time spatial sort can
+                    # outgrow the plan capacities (as in md.py)
+                    bad = bad | (nbl.gather_plan.overflow > 0)
+                    bad = bad | (nbl.gather_plan.inv_overflow > 0)
                 y, neg_dy = model.energy_and_forces(
                     params, example.replace(pos=pos), box=box, nbl=nbl_r
                 )
@@ -151,6 +162,7 @@ def optimize(
     box: Optional[jnp.ndarray] = None,
     skin: float = 0.0,
     rebuild_every: int = 20,
+    neighbor_kwargs: Optional[dict] = None,
 ) -> OptimizedPotential:
     """Return a latency-optimized evaluator bound to ``example``'s shapes.
 
@@ -160,5 +172,6 @@ def optimize(
     """
     model.derivative = True
     return OptimizedPotential(
-        model, params, example, box=box, skin=skin, rebuild_every=rebuild_every
+        model, params, example, box=box, skin=skin,
+        rebuild_every=rebuild_every, neighbor_kwargs=neighbor_kwargs,
     )
