@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--gather-plan", action="store_true",
                     help="spatial-sort atoms and route gathers via the one-hot MXU plan")
     ap.add_argument("--plan-width", type=int, default=640)
+    ap.add_argument("--plan-rows", type=int, default=32)
     ap.add_argument("--fused-attention", action="store_true",
                     help="fused Pallas edge kernel (ET only; implies --gather-plan)")
     args = ap.parse_args()
@@ -82,6 +83,8 @@ def main():
             "cell_capacity": args.cell_capacity,
             "gather_plan": args.gather_plan,
             "plan_width": args.plan_width,
+            "plan_block_rows": args.plan_rows,
+            "plan_inv_capacity": 16 * max(1, 32 // args.plan_rows),
         },
     )
     sim.set_velocities_from_temperature(300.0)

@@ -543,12 +543,15 @@ def _fwd_rule(cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, d
     xw = src[plan.u]  # (NB, W, 7H) — the only HBM gather of the edge phase
     dirs = (dir0, dir1, dir2)
     x_agg, vec_agg = _run_fwd(cfg, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv, bdv)
-    res = (plan, q, ea, cutm, msk, dir0, dir1, dir2, xw, wdk, bdk, wdv, bdv)
+    # residual is the compact (N, 7H) src, NOT the W/K-expanded xw tables —
+    # at STMV scale the per-layer xw is ~GBs; the backward regathers it
+    res = (plan, q, ea, cutm, msk, dir0, dir1, dir2, src, wdk, bdk, wdv, bdv)
     return (x_agg, vec_agg), res
 
 
 def _bwd_rule(cfg, res, ct):
-    plan, q, ea, cutm, msk, dir0, dir1, dir2, xw, wdk, bdk, wdv, bdv = res
+    plan, q, ea, cutm, msk, dir0, dir1, dir2, src, wdk, bdk, wdv, bdv = res
+    xw = src[plan.u]
     ct_x, ct_vec = ct
     h = cfg.h
     outs = _run_bwd(
