@@ -33,6 +33,7 @@ def bench(name, n_atoms, bf16, plan, k_hi=12, plan_width=512, fused=False,
     args = model_args(name)
     args["bf16_messages"] = bf16
     args["fused_attention"] = fused
+    args["fused_message"] = fused
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
     nbl = model.neighbors(

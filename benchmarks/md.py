@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--plan-width", type=int, default=640)
     ap.add_argument("--plan-rows", type=int, default=32)
     ap.add_argument("--fused-attention", action="store_true",
-                    help="fused Pallas edge kernel (ET only; implies --gather-plan)")
+                    help="fused Pallas edge kernel (ET/tensornet; implies --gather-plan)")
     args = ap.parse_args()
     if args.fused_attention:
         args.gather_plan = True
@@ -66,6 +66,7 @@ def main():
         remat=args.remat,
         max_num_neighbors=args.k,
         fused_attention=args.fused_attention,
+        fused_message=args.fused_attention,
     )
     model = create_model(margs)
     params = model.init(jax.random.PRNGKey(0), batch)

@@ -58,7 +58,7 @@ def XavierDense(features: int, use_bias: bool = True, dtype=None, name=None):
     )
 
 
-def TorchDefaultDense(features: int, in_features: int, use_bias: bool = True, dtype=None):
+def TorchDefaultDense(features: int, in_features: int, use_bias: bool = True, dtype=None, name=None):
     """Dense layer matching torch nn.Linear's default reset_parameters."""
     return nn.Dense(
         features,
@@ -67,6 +67,7 @@ def TorchDefaultDense(features: int, in_features: int, use_bias: bool = True, dt
         bias_init=torch_linear_bias(in_features),
         dtype=dtype,
         param_dtype=jnp.float32,
+        name=name,
     )
 
 
@@ -83,6 +84,30 @@ def Embedding(num_embeddings: int, features: int, dtype=None):
         dtype=dtype,
         param_dtype=jnp.float32,
     )
+
+
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for an nn.Dense layer.
+
+    Fused Pallas kernels (ops/pallas/{et,tn}_message.py) consume layer
+    weights directly instead of calling the Dense module; this declares the
+    same {kernel, bias} params with the same inits under an explicitly
+    pinned "Dense_i" name, so the fused and composable branches produce
+    IDENTICAL parameter trees and checkpoints interchange.
+    """
+
+    features: int
+    in_features: int
+    kernel_init: object = xavier_uniform
+    bias_init: object = zeros
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return kernel, bias
 
 
 # --- blocks -----------------------------------------------------------------

@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchmdnet_tpu.models.blocks import Embedding, LayerNorm, NeighborEmbedding, XavierDense
+from torchmdnet_tpu.models.blocks import (
+    DenseParams,
+    Embedding,
+    LayerNorm,
+    NeighborEmbedding,
+    XavierDense,
+)
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
 from torchmdnet_tpu.ops.neighbors import (
@@ -55,33 +61,6 @@ def vproj_column_perm(hidden_channels: int, num_heads: int) -> np.ndarray:
     p, rem = np.divmod(ours, hidden_channels)
     g, d = np.divmod(rem, hd)
     return g * 3 * hd + p * hd + d
-
-
-class _FilterParams(nn.Module):
-    """Parameter-only stand-in for a distance-filter XavierDense.
-
-    The fused edge kernel (ops/pallas/et_message.py) consumes the dk/dv
-    filter weights directly instead of calling the Dense module, but the
-    parameter tree must stay IDENTICAL to the composable path so checkpoints
-    interchange: this module declares the same {kernel, bias} params with
-    the same init under an explicitly pinned "Dense_i" name.
-    """
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.xavier_uniform(),
-            (self.in_features, self.features),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return kernel, bias
 
 
 class EquivariantMultiHeadAttention(nn.Module):
@@ -154,13 +133,13 @@ class EquivariantMultiHeadAttention(nn.Module):
             has_dk = self.distance_influence in ("keys", "both")
             has_dv = self.distance_influence in ("values", "both")
             if has_dk:
-                wdk, bdk = _FilterParams(h, self.num_rbf, name=f"Dense_{di}")()
+                wdk, bdk = DenseParams(h, self.num_rbf, name=f"Dense_{di}")()
                 di += 1
             else:
                 wdk = jnp.zeros((self.num_rbf, h), jnp.float32)
                 bdk = jnp.zeros((h,), jnp.float32)
             if has_dv:
-                wdv, bdv = _FilterParams(3 * h, self.num_rbf, name=f"Dense_{di}")()
+                wdv, bdv = DenseParams(3 * h, self.num_rbf, name=f"Dense_{di}")()
                 di += 1
             else:
                 wdv = jnp.zeros((self.num_rbf, 3 * h), jnp.float32)

@@ -272,6 +272,7 @@ def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
             equivariance_invariance_group=args.get(
                 "equivariance_invariance_group", "O(3)"
             ),
+            fused_message=args.get("fused_message", False),
             **shared,
         )
     raise ValueError(f"Unknown architecture: {name}")

@@ -32,9 +32,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from torchmdnet_tpu.models.blocks import (
+    DenseParams,
     Embedding,
     LayerNorm,
     TorchDefaultDense,
+    torch_linear_bias,
+    torch_linear_kernel,
 )
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
@@ -278,6 +281,10 @@ class Interaction(nn.Module):
     cutoff_upper: float
     equivariance_invariance_group: str
     bf16_messages: bool = False
+    # fused Pallas message kernel (ops/pallas/tn_message.py): requires a
+    # gather plan + bf16_messages; differentiable once (forces/MD/energy
+    # training), force training uses the composable path — identical params
+    fused_message: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -285,20 +292,36 @@ class Interaction(nn.Module):
         h = self.hidden_channels
         act = act_fn_mapping[self.activation]
 
+        use_fused = (
+            self.fused_message
+            and nbl.gather_plan is not None
+            and self.bf16_messages
+            and h % 128 == 0
+        )
         c = cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
-        w = act(TorchDefaultDense(h, self.num_rbf, dtype=self.dtype)(edge_attr))
-        w = act(TorchDefaultDense(2 * h, h, dtype=self.dtype)(w))
-        w = act(TorchDefaultDense(3 * h, 2 * h, dtype=self.dtype)(w))
-        w = w * c[..., None]
-        w = jnp.where(nbl.mask[..., None], w, 0.0)  # (N, K, 3H)
+        if not use_fused:
+            # auto-named Dense_0..2; the fused branch pins the same names
+            w = act(TorchDefaultDense(h, self.num_rbf, dtype=self.dtype)(edge_attr))
+            w = act(TorchDefaultDense(2 * h, h, dtype=self.dtype)(w))
+            w = act(TorchDefaultDense(3 * h, 2 * h, dtype=self.dtype)(w))
+            w = w * c[..., None]
+            w = jnp.where(nbl.mask[..., None], w, 0.0)  # (N, K, 3H)
+        else:
+            tdp = lambda f, fi, name: DenseParams(
+                f, fi, kernel_init=torch_linear_kernel,
+                bias_init=torch_linear_bias(fi), name=name,
+            )()
+            w1, b1 = tdp(h, self.num_rbf, "Dense_0")
+            w2, b2 = tdp(2 * h, h, "Dense_1")
+            w3, b3 = tdp(3 * h, 2 * h, "Dense_2")
 
         inv = 1.0 / (t9_norm(x) + 1.0)
         x = t9_scale(x, inv)
         lam, a_p, s_p = t9_decompose(x)
-        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(lam)
-        dense_a = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype, name="Dense_3")(lam)
+        dense_a = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype, name="Dense_4")
         a_p = tuple(dense_a(comp) for comp in a_p)
-        dense_s = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        dense_s = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype, name="Dense_5")
         s_p = tuple(dense_s(comp) for comp in s_p)
         y = t9_from_irreps(lam, a_p, s_p)
 
@@ -315,18 +338,50 @@ class Interaction(nn.Module):
         # (benchmarks/exp_tn_msg.py) with no change to the aggregation math.
         mp_dtype = jnp.bfloat16 if self.bf16_messages else cat.dtype
         acc_dtype = cat.dtype
-        cat_j = ell_gather(cat.astype(mp_dtype), nbl.idx, nbl.gather_plan)  # (N, K, 9H)
-        w_i, w_a, w_s = jnp.split(w.astype(mp_dtype), 3, axis=-1)
-        # per-block multiply+reduce (slices are views; the products fuse into
-        # the K reduction) — a concatenated 9H-wide multiplier would
-        # materialize an extra ~(N, K, 9H) tensor
-        wb = (w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s)
-        m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
-            (cat_j[:, :, i * h : (i + 1) * h] * wb[i]).sum(
-                axis=1, dtype=acc_dtype
+        if use_fused:
+            # whole message phase (edge MLP + gather + weighted K-reduce) in
+            # one Pallas kernel, no (N, K, F) HBM intermediates
+            import jax
+
+            from torchmdnet_tpu.ops.pallas.tn_message import (
+                FusedTNConfig,
+                fused_tn_messages,
             )
-            for i in range(9)
-        )
+
+            bf = jnp.bfloat16
+            cfg = FusedTNConfig(
+                h=h,
+                act=self.activation,
+                interpret=jax.devices()[0].platform != "tpu",
+                kc=8,
+            )
+            cutm = (c * nbl.mask).astype(jnp.float32)
+            m = fused_tn_messages(
+                cfg,
+                nbl.gather_plan,
+                cat.astype(bf),
+                edge_attr.astype(bf),
+                cutm,
+                w1.astype(bf), b1.astype(bf).reshape(1, -1),
+                w2.astype(bf), b2.astype(bf).reshape(1, -1),
+                w3.astype(bf), b3.astype(bf).reshape(1, -1),
+            )
+            m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
+                m[:, i * h : (i + 1) * h].astype(acc_dtype) for i in range(9)
+            )
+        else:
+            cat_j = ell_gather(cat.astype(mp_dtype), nbl.idx, nbl.gather_plan)  # (N, K, 9H)
+            w_i, w_a, w_s = jnp.split(w.astype(mp_dtype), 3, axis=-1)
+            # per-block multiply+reduce (slices are views; the products fuse
+            # into the K reduction) — a concatenated 9H-wide multiplier would
+            # materialize an extra ~(N, K, 9H) tensor
+            wb = (w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s)
+            m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
+                (cat_j[:, :, i * h : (i + 1) * h] * wb[i]).sum(
+                    axis=1, dtype=acc_dtype
+                )
+                for i in range(9)
+            )
         msg = t9_from_irreps(
             m_l,
             (m_a0, m_a1, m_a2),
@@ -345,10 +400,10 @@ class Interaction(nn.Module):
         lam = lam * invp
         a_p = tuple(comp * invp for comp in a_p)
         s_p = tuple(comp * invp for comp in s_p)
-        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)(lam)
-        dense_a2 = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        lam = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype, name="Dense_6")(lam)
+        dense_a2 = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype, name="Dense_7")
         a_p = tuple(dense_a2(comp) for comp in a_p)
-        dense_s2 = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype)
+        dense_s2 = TorchDefaultDense(h, h, use_bias=False, dtype=self.dtype, name="Dense_8")
         s_p = tuple(dense_s2(comp) for comp in s_p)
         dx = t9_from_irreps(lam, a_p, s_p)
         # x + dx + dx^2 (matrix square; reference matrix_power, :409)
@@ -371,6 +426,7 @@ class TensorNet(nn.Module):
     equivariance_invariance_group: str = "O(3)"
     remat: bool = False  # see graph_network.TorchMD_GN.remat
     bf16_messages: bool = False  # bf16 message gather/product, f32 accumulate
+    fused_message: bool = False  # fused Pallas message kernel (see Interaction)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -428,6 +484,7 @@ class TensorNet(nn.Module):
                 self.cutoff_upper,
                 self.equivariance_invariance_group,
                 bf16_messages=self.bf16_messages,
+                fused_message=self.fused_message,
                 dtype=self.dtype,
                 name=f"Interaction_{li}",
             )(x, nbl, dist, edge_attr)

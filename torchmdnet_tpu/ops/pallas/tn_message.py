@@ -1,0 +1,304 @@
+"""Pallas TPU kernel: the TensorNet message phase as one fused kernel.
+
+The TensorNet Interaction's edge phase (reference tensornet.py:329-332 +
+the 3-layer edge MLP at :376-381) is, in the T9 representation:
+
+    w   = act(L3(act(L2(act(L1(edge_attr)))))) * cutoff * mask   (N, K, 3H)
+    m_i = sum_k  wb(comp)[i,k] * cat[idx[i,k], comp]             (N, 9H)
+
+where cat holds the 9 unique irrep components and wb maps component ->
+{w_I, w_A, w_S} thirds of w.  The composable path materializes w, two MLP
+intermediates, and the gathered (N, K, 9H) rows in HBM; this kernel keeps
+all of them in VMEM per receiver block (same architecture as
+ops/pallas/et_message.py: one-hot MXU gather from the BlockGatherPlan's
+compacted tables, f32 K-axis accumulators, a recomputing backward kernel
+wired through jax.custom_vjp — differentiable once; force training uses
+the composable path with the identical parameter tree).
+
+Wiring: TensorNet(fused_message=True) + neighbors(gather_plan=True) +
+bf16_messages; see models/tensornet.py.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchmdnet_tpu.ops.pallas.onehot_gather import BlockGatherPlan
+from torchmdnet_tpu.ops.pallas.et_message import (
+    _act_v,
+    _dact_v,
+    _chunks,
+    _inverse_scatter,
+    _zero_ct,
+)
+
+
+class FusedTNConfig(NamedTuple):
+    h: int
+    act: str
+    interpret: bool
+    kc: int = 8
+
+
+def _wb_cat(w3, h):
+    """(.., 3H) edge weights -> (.., 9H) per-component multiplier
+    [w_I, w_A x3, w_S x5] (tensornet.py irrep component order)."""
+    wi = w3[..., :h]
+    wa = w3[..., h : 2 * h]
+    ws = w3[..., 2 * h :]
+    return jnp.concatenate([wi, wa, wa, wa, ws, ws, ws, ws, ws], axis=-1)
+
+
+def _mlp_fwd(act, ea2, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, bf):
+    """act(L3(act(L2(act(L1(ea)))))), whole block, pre-activations returned."""
+    p1 = jax.lax.dot(ea2, w1_ref[...], preferred_element_type=jnp.float32).astype(bf) + b1_ref[...]
+    t1 = _act_v(act, p1)
+    p2 = jax.lax.dot(t1, w2_ref[...], preferred_element_type=jnp.float32).astype(bf) + b2_ref[...]
+    t2 = _act_v(act, p2)
+    p3 = jax.lax.dot(t2, w3_ref[...], preferred_element_type=jnp.float32).astype(bf) + b3_ref[...]
+    t3 = _act_v(act, p3)
+    return p1, t1, p2, t2, p3, t3
+
+
+def _fwd_kernel(
+    local_ref, xw_ref, ea_ref, cutm_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    m_out_ref,
+    *, w, kc, h, act,
+):
+    r, k = local_ref.shape
+    rk, rbf = ea_ref.shape
+    xw = xw_ref[0]  # (W, 9H)
+    bf = xw.dtype
+    _, _, _, _, _, t3 = _mlp_fwd(
+        act, ea_ref[...], w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, bf
+    )
+    wm3 = t3.reshape(r, k, 3 * h)
+    m_acc = jnp.zeros((r, 9 * h), jnp.float32)
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(jnp.float32)
+        loc = local_ref[:, c0 : c0 + kn].astype(jnp.float32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(bf)
+        g3 = (
+            jax.lax.dot(oh, xw, preferred_element_type=jnp.float32)
+            .astype(bf).reshape(r, kn, 9 * h)
+        )
+        cutm3 = cutm_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
+        wb3 = _wb_cat(wm3[:, c0 : c0 + kn, :], h) * cutm3  # (R, Kn, 9H)
+        m_acc = m_acc + (g3 * wb3).astype(jnp.float32).sum(axis=1)
+    m_out_ref[...] = m_acc
+
+
+def _bwd_kernel(
+    local_ref, xw_ref, ea_ref, cutm_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    ct_ref,
+    dea_ref, dcutm_ref, dxw_ref,
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+    *, w, kc, h, act,
+):
+    r, k = local_ref.shape
+    rk, rbf = ea_ref.shape
+    xw = xw_ref[0]
+    bf = xw.dtype
+    ea2 = ea_ref[...]
+    # recompute the edge MLP (pre-activations needed for its backward)
+    p1, t1, p2, t2, p3, t3 = _mlp_fwd(
+        act, ea2, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, bf
+    )
+    wm3 = t3.reshape(r, k, 3 * h)
+    ct3 = ct_ref[...][:, None, :]  # (R, 1, 9H) f32
+    dxw_acc = jnp.zeros((w, 9 * h), jnp.float32)
+    d_wm_chunks = []
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(jnp.float32)
+        loc = local_ref[:, c0 : c0 + kn].astype(jnp.float32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(bf)
+        g3 = (
+            jax.lax.dot(oh, xw, preferred_element_type=jnp.float32)
+            .astype(bf).reshape(r, kn, 9 * h)
+        )
+        cutm3 = cutm_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
+        wmc = wm3[:, c0 : c0 + kn, :]
+        wb3 = _wb_cat(wmc, h) * cutm3
+        ct3b = ct3.astype(bf)
+        # d_g = ct * wb ; d_wb = ct * g
+        d_g3 = ct3b * wb3
+        dxw_acc = dxw_acc + jax.lax.dot_general(
+            oh, d_g3.reshape(rc, 9 * h),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_wb3 = ct3b * g3  # (R, Kn, 9H)
+        # wb component map transpose: I <- comp0, A <- comps 1..3, S <- 4..8
+        d_wI = d_wb3[:, :, :h]
+        d_wA = (
+            d_wb3[:, :, h : 2 * h] + d_wb3[:, :, 2 * h : 3 * h]
+            + d_wb3[:, :, 3 * h : 4 * h]
+        )
+        d_wS = (
+            d_wb3[:, :, 4 * h : 5 * h] + d_wb3[:, :, 5 * h : 6 * h]
+            + d_wb3[:, :, 6 * h : 7 * h] + d_wb3[:, :, 7 * h : 8 * h]
+            + d_wb3[:, :, 8 * h :]
+        )
+        d_wfull3 = jnp.concatenate([d_wI, d_wA, d_wS], axis=-1)  # (R, Kn, 3H)
+        # w_used = wm * cutm: split the product rule
+        d_wm_chunks.append(d_wfull3 * cutm3)
+        dcutm_ref[:, c0 : c0 + kn] = (
+            (d_wfull3 * wmc).astype(jnp.float32).sum(axis=-1)
+        )
+    # ---- edge-MLP backward, whole block
+    d_t3 = jnp.concatenate(d_wm_chunks, axis=1).reshape(rk, 3 * h)
+    d_p3 = _dact_v(act, p3) * d_t3
+    d_t2 = jax.lax.dot_general(
+        d_p3, w3_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(bf)
+    dw3_ref[...] = jax.lax.dot_general(
+        t2, d_p3, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
+    db3_ref[...] = d_p3.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
+    d_p2 = _dact_v(act, p2) * d_t2
+    d_t1 = jax.lax.dot_general(
+        d_p2, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(bf)
+    dw2_ref[...] = jax.lax.dot_general(
+        t1, d_p2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
+    db2_ref[...] = d_p2.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
+    d_p1 = _dact_v(act, p1) * d_t1
+    dea_ref[...] = jax.lax.dot_general(
+        d_p1, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dea_ref.dtype)
+    dw1_ref[...] = jax.lax.dot_general(
+        ea2, d_p1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
+    db1_ref[...] = d_p1.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
+    dxw_ref[...] = dxw_acc.astype(dxw_ref.dtype)[None]
+
+
+def _specs(r, k, rbf, w, h, f9):
+    nk = lambda: pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    return [
+        nk(),  # local
+        pl.BlockSpec((1, w, f9), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r * k, rbf), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        nk(),  # cutm
+        pl.BlockSpec((rbf, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 2 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * h, 3 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_tn_messages(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3):
+    """Fused TensorNet message phase: m (N, 9H) f32.
+
+    Args:
+        cfg: FusedTNConfig (static).
+        plan: BlockGatherPlan over the layer's ELL idx.
+        cat: (N, 9H) irrep-component source rows (message dtype, bf16).
+        ea: (N, K, RBF) edge RBF features (bf16).
+        cutm: (N, K) f32 cosine_cutoff(dist) * mask.
+        w1/b1, w2/b2, w3/b3: the edge MLP params (bf16, biases (1, F)).
+
+    Differentiable once (custom_vjp) — forces/MD/energy training; force
+    training uses the composable path.
+    """
+    out, _ = _fwd_rule(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3)
+    return out
+
+
+def _fwd_rule(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3):
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    rbf = ea.shape[-1]
+    h = cfg.h
+    xw = cat[plan.u]  # (NB, W, 9H)
+    kern = functools.partial(_fwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
+    r = n // nb
+    m = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_specs(r, k, rbf, w, h, 9 * h),
+        out_specs=pl.BlockSpec((r, 9 * h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 9 * h), jnp.float32),
+        interpret=cfg.interpret,
+    )(plan.local, xw, ea.reshape(n * k, rbf), cutm, w1, b1, w2, b2, w3, b3)
+    res = (plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3)
+    return m, res
+
+
+def _bwd_rule(cfg, res, ct):
+    plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3 = res
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    rbf = ea.shape[-1]
+    h = cfg.h
+    r = n // nb
+    xw = cat[plan.u]
+    kern = functools.partial(_bwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
+    nk = lambda: pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_specs(r, k, rbf, w, h, 9 * h)
+        + [pl.BlockSpec((r, 9 * h), lambda b: (b, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((r * k, rbf), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            nk(),
+            pl.BlockSpec((1, w, 9 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rbf, h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 2 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * h, 3 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * k, rbf), ea.dtype),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),  # dcutm
+            jax.ShapeDtypeStruct((nb, w, 9 * h), cat.dtype),
+            jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2 * h, 3 * h), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, 3 * h), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(
+        plan.local, xw, ea.reshape(n * k, rbf), cutm,
+        w1, b1, w2, b2, w3, b3, ct.astype(jnp.float32),
+    )
+    dea, dcutm, dxw, dw1, db1, dw2, db2, dw3, db3 = outs
+    d_cat = _inverse_scatter(dxw.astype(jnp.float32), plan).astype(cat.dtype)
+    return (
+        jax.tree_util.tree_map(_zero_ct, plan),
+        d_cat,
+        dea.reshape(ea.shape).astype(ea.dtype),
+        dcutm.astype(cutm.dtype),
+        dw1.sum(axis=0).astype(w1.dtype),
+        db1.sum(axis=0).astype(b1.dtype),
+        dw2.sum(axis=0).astype(w2.dtype),
+        db2.sum(axis=0).astype(b2.dtype),
+        dw3.sum(axis=0).astype(w3.dtype),
+        db3.sum(axis=0).astype(b3.dtype),
+    )
+
+
+fused_tn_messages.defvjp(_fwd_rule, _bwd_rule)

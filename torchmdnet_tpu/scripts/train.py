@@ -105,6 +105,7 @@ def get_args(argv=None):
     parser.add_argument('--remat', type=bool, default=False, help='Rematerialize each interaction layer in backward passes (O(1)-layer residual memory; needed for force training/evaluation on very large systems)')
     parser.add_argument('--bf16-messages', type=bool, default=False, help='Quantize message-passing gathers/products to bfloat16 with float32 accumulation (TPU HBM-traffic optimization; ~1.5x on TensorNet at protein sizes)')
     parser.add_argument('--fused-attention', type=bool, default=False, help='Route the equivariant-transformer edge phase through the fused Pallas kernel (requires bf16-messages; energy losses only — force training needs grad-of-grad, which the fused backward does not support)')
+    parser.add_argument('--fused-message', type=bool, default=False, help='Route the tensornet message phase (edge MLP + gather + weighted reduce) through the fused Pallas kernel (same requirements/limits as --fused-attention)')
     parser.add_argument('--steps-per-dispatch', type=int, default=8, help='Optimizer steps fused into one device dispatch (lax.scan over stacked batches). Amortizes per-dispatch host overhead; numerics unchanged. Set 1 to dispatch each step individually.')
     parser.add_argument('--loader-buckets', type=int, default=1, help='Size buckets for batch padding (1 = single worst-case capacity). For heterogeneous datasets (e.g. SPICE) 3-4 buckets cut padded-atom waste several-fold at the cost of one compiled executable per bucket; batches become size-homogeneous (standard bucket-by-length trade-off).')
     parser.add_argument('--standardize', type=bool, default=False, help='If true, multiply prediction by dataset std and add mean')

@@ -270,13 +270,14 @@ class Trainer:
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
 
-        if h.get("fused_attention") and h.get("derivative") and h.get("neg_dy_weight", 1.0) > 0:
+        fused_flag = h.get("fused_attention") or h.get("fused_message")
+        if fused_flag and h.get("derivative") and h.get("neg_dy_weight", 1.0) > 0:
             raise ValueError(
-                "fused_attention supports one differentiation order (forces, "
-                "energy training); force-loss training is grad-of-grad, which "
-                "the fused backward kernel does not provide. Train with "
-                "fused_attention=False (checkpoints are interchangeable) or "
-                "set neg_dy_weight to 0."
+                "fused_attention/fused_message support one differentiation "
+                "order (forces, energy training); force-loss training is "
+                "grad-of-grad, which the fused backward kernels do not "
+                "provide. Train with the fused flags off (checkpoints are "
+                "interchangeable) or set neg_dy_weight to 0."
             )
         batch0 = next(iter(train_loader))
         # loud config checks (reference Distance assert): a too-small
