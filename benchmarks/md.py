@@ -39,6 +39,8 @@ def main():
                     help="spatial-sort atoms and route gathers via the one-hot MXU plan")
     ap.add_argument("--plan-width", type=int, default=640)
     ap.add_argument("--plan-rows", type=int, default=32)
+    ap.add_argument("--plan-inv-capacity", type=int, default=0,
+                    help="0 = auto (16 * 32/plan_rows)")
     ap.add_argument("--fused-attention", action="store_true",
                     help="fused Pallas edge kernel (ET/tensornet; implies --gather-plan)")
     args = ap.parse_args()
@@ -85,7 +87,8 @@ def main():
             "gather_plan": args.gather_plan,
             "plan_width": args.plan_width,
             "plan_block_rows": args.plan_rows,
-            "plan_inv_capacity": 16 * max(1, 32 // args.plan_rows),
+            "plan_inv_capacity": args.plan_inv_capacity
+            or 16 * max(1, 32 // args.plan_rows),
         },
     )
     sim.set_velocities_from_temperature(300.0)

@@ -162,9 +162,10 @@ class EquivariantMultiHeadAttention(nn.Module):
                 has_dk=has_dk,
                 has_dv=has_dv,
                 interpret=jax.devices()[0].platform != "tpu",
-                # kc=8 keeps the backward kernel inside the 16 MB scoped-VMEM
-                # limit at K~80 (kc=16 peaked at 31 MB on DHFR)
-                kc=8,
+                # R*kc ~ 128 rows per MXU call balances matmul granularity
+                # against the 16 MB scoped-VMEM limit (kc=8 at R=16 measured
+                # fitting at K~100/W=384; larger R or W needs smaller chunks)
+                kc=max(2, 128 // nbl.gather_plan.block_rows),
             )
             x_agg, vec_cat = fused_et_messages(
                 cfg,
