@@ -19,6 +19,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Tests exercise the fused Pallas kernels in interpret mode on CPU; outside
+# tests a non-TPU platform falls back to the composable path instead
+# (ops/pallas/__init__.py:fused_kernel_mode).
+os.environ.setdefault("TORCHMDNET_TPU_INTERPRET_FUSED", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,205 @@
+"""Trainer integration of the fused kernels + per-batch capacity surveillance.
+
+Round-2 verdict items: the --fused-attention/--fused-message flags must
+actually engage the Pallas kernels under Trainer.fit (the trainer builds the
+gather plan + spatially sorts batches), and a neighbor-capacity overflow in a
+LATER batch (not just batch 0) must fail loudly at the epoch fetch — the
+reference checks every forward (models/utils.py:251-257).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from torchmdnet_tpu.data.batch import pad_molecules
+from torchmdnet_tpu.data.datasets import DummyDataset
+from torchmdnet_tpu.data.datasets.base import MolecularDataset
+from torchmdnet_tpu.data.module import DataModule
+from torchmdnet_tpu.models.potential import create_model
+from torchmdnet_tpu.train.trainer import Trainer, TrainerState
+
+
+def _base_hparams(tmp_path, **over):
+    h = dict(
+        model="graph-network",
+        embedding_dimension=16,
+        num_layers=1,
+        num_rbf=8,
+        rbf_type="expnorm",
+        trainable_rbf=False,
+        activation="silu",
+        neighbor_embedding=False,
+        aggr="add",
+        cutoff_lower=0.0,
+        cutoff_upper=5.0,
+        max_z=100,
+        max_num_neighbors=8,
+        derivative=False,
+        output_model="Scalar",
+        prior_model=None,
+        reduce_op="add",
+        precision=32,
+        atom_filter=-1,
+        y_weight=1.0,
+        neg_dy_weight=0.0,
+        batch_size=2,
+        inference_batch_size=2,
+        lr=1e-3,
+        lr_patience=5,
+        lr_factor=0.5,
+        lr_min=1e-7,
+        lr_warmup_steps=0,
+        num_epochs=1,
+        early_stopping_patience=50,
+        seed=1,
+        log_dir=str(tmp_path),
+        save_interval=100,
+        test_interval=-1,
+        gradient_clipping=0.0,
+        ema_alpha_y=1.0,
+        ema_alpha_neg_dy=1.0,
+        weight_decay=0.0,
+        num_workers=0,
+        reset_trainer=False,
+        splits=None,
+        standardize=False,
+        steps_per_dispatch=1,
+    )
+    h.update(over)
+    return h
+
+
+class TwoDensityDataset(MolecularDataset):
+    """Sparse molecules (no neighbors) plus dense ones (all-pairs neighbors).
+
+    ``dense`` marks which samples are a 10-atom cluster inside one cutoff
+    sphere (9 neighbors/atom); sparse samples space their atoms 8 A apart
+    (0 neighbors at cutoff 5 A).
+    """
+
+    def __init__(self, dense_flags):
+        self.dense_flags = list(dense_flags)
+        self.n_atoms = 10
+        self.atomic_number = list(range(100))
+        self.distance_scale = 1e-10
+        self.energy_scale = 1.60218e-19
+
+    def __len__(self):
+        return len(self.dense_flags)
+
+    def sample_sizes(self):
+        return np.full(len(self.dense_flags), self.n_atoms)
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(idx)
+        n = self.n_atoms
+        if self.dense_flags[idx]:
+            pos = rng.uniform(0, 2.0, (n, 3)).astype(np.float32)
+        else:
+            pos = (np.arange(n, dtype=np.float32)[:, None] * 8.0) * np.array(
+                [1.0, 0, 0], np.float32
+            )
+        return {
+            "z": rng.integers(1, 9, n).astype(np.int64),
+            "pos": pos,
+            "y": rng.standard_normal(1).astype(np.float32),
+        }
+
+    def get_atomref(self):
+        return None
+
+
+def test_later_batch_overflow_raises(tmp_path):
+    """An overflow in the SECOND training batch (batch 0 is fine) raises at
+    the epoch-end fetch via the accumulated on-device flag."""
+    h = _base_hparams(tmp_path, max_num_neighbors=4, batch_size=1)
+    model = create_model(h)
+    trainer = Trainer(model, h)
+
+    ds = TwoDensityDataset([False, True])
+    sparse = pad_molecules([ds[0]], num_atoms=16, num_mol=1)
+    dense = pad_molecules([ds[1]], num_atoms=16, num_mol=1)
+
+    # batch 0 passes the eager setup check; the dense batch 1 must still fail
+    model.neighbors(sparse).raise_on_overflow("setup")
+    params = model.init(jax.random.PRNGKey(0), sparse)
+    state = TrainerState(
+        params=params, opt_state=trainer.optimizer.init(params), lr=h["lr"]
+    )
+    with pytest.raises(ValueError, match="batch\\(es\\)"):
+        trainer._run_train_epoch(state, [sparse, dense])
+
+
+def test_later_batch_overflow_raises_in_eval(tmp_path):
+    """Same surveillance on the (unshuffled) eval loop — covers validation
+    batches the eager batch-0 check never sees, through the full fit()."""
+    h = _base_hparams(
+        tmp_path,
+        max_num_neighbors=4,
+        batch_size=1,
+        inference_batch_size=1,
+        train_size=2,
+        val_size=1,
+        test_size=1,
+    )
+    # deterministic splits: train = sparse only, val = the dense sample
+    import os
+
+    splits_path = os.path.join(str(tmp_path), "given_splits.npz")
+    np.savez(
+        splits_path,
+        idx_train=np.array([0, 1]),
+        idx_val=np.array([2]),
+        idx_test=np.array([3]),
+    )
+    h["splits"] = splits_path
+    ds = TwoDensityDataset([False, False, True, False])
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h)
+    with pytest.raises(ValueError, match="val epoch"):
+        trainer.fit(data)
+
+
+def test_fused_attention_engages_in_training(tmp_path, monkeypatch):
+    """--fused-attention under Trainer.fit routes the edge phase through the
+    Pallas kernel (plan built + batch spatially sorted by the trainer)."""
+    import torchmdnet_tpu.ops.pallas.et_message as etm
+
+    calls = []
+    orig = etm.fused_et_messages
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(etm, "fused_et_messages", spy)
+
+    h = _base_hparams(
+        tmp_path,
+        model="equivariant-transformer",
+        embedding_dimension=128,  # fused requires a 128-multiple
+        num_heads=8,
+        attn_activation="silu",
+        distance_influence="both",
+        neighbor_embedding=False,
+        bf16_messages=True,
+        fused_attention=True,
+        plan_block_rows=8,
+        plan_width=128,
+        train_size=2,
+        val_size=1,
+        test_size=1,
+        batch_size=1,
+        inference_batch_size=1,
+    )
+    ds = DummyDataset(num_samples=4, num_atoms=6, has_forces=False, seed=3)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h)
+    state = trainer.fit(data)
+    assert calls, "fused_et_messages was never traced under Trainer.fit"
+    assert state.global_step == 2

@@ -111,17 +111,46 @@ class EquivariantMultiHeadAttention(nn.Module):
         vec3 = tuple(vc[:, 2 * h :] for vc in vec123)
         vec_dot = sum(v1 * v2 for v1, v2 in zip(vec1, vec2))  # (N, H)
 
-        use_fused = (
-            self.fused_attention
-            and nbl.gather_plan is not None
-            and self.bf16_messages
-            and h % 128 == 0
-        )
+        use_fused = False
+        if self.fused_attention and not self.is_initializing():
+            from torchmdnet_tpu.ops.pallas import fused_kernel_mode
+
+            mode = fused_kernel_mode()
+            if mode is not None:
+                # The platform can run the kernel: missing preconditions are
+                # a configuration error, not a silent fallback (a no-op
+                # --fused-attention flag is worse than none).
+                if nbl.gather_plan is None:
+                    raise ValueError(
+                        "fused_attention=True but the neighbor list has no "
+                        "gather plan. Build it via Potential.neighbors(batch, "
+                        "gather_plan=True) on a spatially sorted batch and "
+                        "pass it into apply/energy_and_forces (the trainer "
+                        "does this when --fused-attention is set; ring "
+                        "edge-partitioning does not compose with the fused "
+                        "kernels yet — run one or the other)."
+                    )
+                if not self.bf16_messages:
+                    raise ValueError(
+                        "fused_attention=True requires bf16_messages=True "
+                        "(the kernel computes the edge phase in bf16 with "
+                        "f32 accumulation)."
+                    )
+                if h % 128 != 0:
+                    raise ValueError(
+                        f"fused_attention=True requires hidden_channels "
+                        f"divisible by 128 (the MXU lane width); got {h}."
+                    )
+                use_fused = True
+            # mode None (CPU/GPU, no interpret opt-in): composable path —
+            # interpret mode would be orders of magnitude slower.
         if use_fused:
             # Entire edge phase (gather + filters + attention + products +
             # K-reduce) in one Pallas kernel; no (N, K, F) HBM intermediates
-            # (ops/pallas/et_message.py).  Differentiable once: forces/MD and
-            # energy training work, force training must run unfused.
+            # (ops/pallas/et_message.py).  Differentiable at every order:
+            # forces/MD/energy training run the fwd+bwd kernels, force
+            # training adds a composable second-order rule for the outer
+            # pass (et_message.py module docstring).
             from torchmdnet_tpu.ops.pallas.et_message import (
                 FusedETConfig,
                 fused_et_messages,
@@ -161,7 +190,7 @@ class EquivariantMultiHeadAttention(nn.Module):
                 attn_act=self.attn_activation,
                 has_dk=has_dk,
                 has_dv=has_dv,
-                interpret=jax.devices()[0].platform != "tpu",
+                interpret=mode == "interpret",
                 # R*kc ~ 128 rows per MXU call balances matmul granularity
                 # against the 16 MB scoped-VMEM limit (kc=8 at R=16 measured
                 # fitting at K~100/W=384; larger R or W needs smaller chunks)
@@ -280,9 +309,9 @@ class TorchMD_ET(nn.Module):
     max_num_neighbors: int = 32
     remat: bool = False  # see graph_network.TorchMD_GN.remat
     bf16_messages: bool = False  # bf16 edge intermediates, f32 accumulation
-    # Route the edge phase through the fused Pallas kernel when a gather
-    # plan is present (requires bf16_messages; differentiable once — forces
-    # and energy training, NOT force training).  See ops/pallas/et_message.py.
+    # Route the edge phase through the fused Pallas kernel (requires
+    # bf16_messages + a neighbor list carrying a gather plan; differentiable
+    # at every order).  See ops/pallas/et_message.py.
     fused_attention: bool = False
     dtype: Optional[jnp.dtype] = None
 

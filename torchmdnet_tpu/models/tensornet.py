@@ -282,8 +282,8 @@ class Interaction(nn.Module):
     equivariance_invariance_group: str
     bf16_messages: bool = False
     # fused Pallas message kernel (ops/pallas/tn_message.py): requires a
-    # gather plan + bf16_messages; differentiable once (forces/MD/energy
-    # training), force training uses the composable path — identical params
+    # gather plan + bf16_messages; differentiable at every order (force
+    # training runs a composable second-order rule for the outer pass)
     fused_message: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -292,12 +292,35 @@ class Interaction(nn.Module):
         h = self.hidden_channels
         act = act_fn_mapping[self.activation]
 
-        use_fused = (
-            self.fused_message
-            and nbl.gather_plan is not None
-            and self.bf16_messages
-            and h % 128 == 0
-        )
+        use_fused = False
+        fused_mode = None
+        if self.fused_message and not self.is_initializing():
+            from torchmdnet_tpu.ops.pallas import fused_kernel_mode
+
+            fused_mode = fused_kernel_mode()
+            if fused_mode is not None:
+                # see models/et.py: on a kernel-capable platform, missing
+                # preconditions are a loud configuration error
+                if nbl.gather_plan is None:
+                    raise ValueError(
+                        "fused_message=True but the neighbor list has no "
+                        "gather plan. Build it via Potential.neighbors(batch, "
+                        "gather_plan=True) on a spatially sorted batch and "
+                        "pass it into apply/energy_and_forces (the trainer "
+                        "does this when --fused-message is set; ring "
+                        "edge-partitioning does not compose with the fused "
+                        "kernels yet — run one or the other)."
+                    )
+                if not self.bf16_messages:
+                    raise ValueError(
+                        "fused_message=True requires bf16_messages=True."
+                    )
+                if h % 128 != 0:
+                    raise ValueError(
+                        f"fused_message=True requires hidden_channels "
+                        f"divisible by 128 (the MXU lane width); got {h}."
+                    )
+                use_fused = True
         c = cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
         if not use_fused:
             # auto-named Dense_0..2; the fused branch pins the same names
@@ -341,8 +364,6 @@ class Interaction(nn.Module):
         if use_fused:
             # whole message phase (edge MLP + gather + weighted K-reduce) in
             # one Pallas kernel, no (N, K, F) HBM intermediates
-            import jax
-
             from torchmdnet_tpu.ops.pallas.tn_message import (
                 FusedTNConfig,
                 fused_tn_messages,
@@ -352,7 +373,7 @@ class Interaction(nn.Module):
             cfg = FusedTNConfig(
                 h=h,
                 act=self.activation,
-                interpret=jax.devices()[0].platform != "tpu",
+                interpret=fused_mode == "interpret",
                 kc=8,
             )
             cutm = (c * nbl.mask).astype(jnp.float32)

@@ -24,6 +24,25 @@ MODEL_CHOICES = ["graph-network", "transformer", "equivariant-transformer", "ten
 PRIOR_CHOICES = ["Atomref", "D2", "ZBL", "Coulomb"]
 
 
+def str2bool(value):
+    """Proper boolean flag parsing for the TPU-only flags.
+
+    The reference's flags use argparse ``type=bool`` (any non-empty string,
+    including "False", parses truthy — scripts/train.py:37-105); those are
+    kept verbatim for CLI compatibility.  New flags introduced by this
+    framework have no compatibility constraint, so they parse correctly:
+    '--fused-attention False' means False.
+    """
+    if isinstance(value, bool):
+        return value
+    v = str(value).strip().lower()
+    if v in ("1", "true", "t", "yes", "y", "on"):
+        return True
+    if v in ("0", "false", "f", "no", "n", "off", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
+
+
 def get_args(argv=None):
     # fmt: off
     parser = argparse.ArgumentParser(description="Training")
@@ -40,7 +59,7 @@ def get_args(argv=None):
     parser.add_argument('--lr-warmup-steps', type=int, default=0, help='How many steps to warm-up over. Defaults to 0 for no warm-up')
     parser.add_argument('--early-stopping-patience', type=int, default=30, help='Stop training after this many epochs without improvement')
     parser.add_argument('--reset-trainer', type=bool, default=False, help='Reset training metrics (e.g. early stopping, lr) when loading a model checkpoint')
-    parser.add_argument('--auto-resume', type=bool, default=False, help='Resume from the newest checkpoint in log-dir when no --load-model is given (elastic restart after preemption/crash)')
+    parser.add_argument('--auto-resume', type=str2bool, default=False, help='Resume from the newest checkpoint in log-dir when no --load-model is given (elastic restart after preemption/crash)')
     parser.add_argument('--weight-decay', type=float, default=0.0, help='Weight decay strength')
     parser.add_argument('--ema-alpha-y', type=float, default=1.0, help='The amount of influence of new losses on the exponential moving average of y')
     parser.add_argument('--ema-alpha-neg-dy', type=float, default=1.0, help='The amount of influence of new losses on the exponential moving average of dy')
@@ -102,10 +121,12 @@ def get_args(argv=None):
     parser.add_argument('--atom-filter', type=int, default=-1, help='Only sum over atoms with Z > atom_filter')
     parser.add_argument('--max-z', type=int, default=100, help='Maximum atomic number that fits in the embedding matrix')
     parser.add_argument('--max-num-neighbors', type=int, default=32, help='Maximum number of neighbors to consider in the network')
-    parser.add_argument('--remat', type=bool, default=False, help='Rematerialize each interaction layer in backward passes (O(1)-layer residual memory; needed for force training/evaluation on very large systems)')
-    parser.add_argument('--bf16-messages', type=bool, default=False, help='Quantize message-passing gathers/products to bfloat16 with float32 accumulation (TPU HBM-traffic optimization; ~1.5x on TensorNet at protein sizes)')
-    parser.add_argument('--fused-attention', type=bool, default=False, help='Route the equivariant-transformer edge phase through the fused Pallas kernel (requires bf16-messages; energy losses only — force training needs grad-of-grad, which the fused backward does not support)')
-    parser.add_argument('--fused-message', type=bool, default=False, help='Route the tensornet message phase (edge MLP + gather + weighted reduce) through the fused Pallas kernel (same requirements/limits as --fused-attention)')
+    parser.add_argument('--remat', type=str2bool, default=False, help='Rematerialize each interaction layer in backward passes (O(1)-layer residual memory; needed for force training/evaluation on very large systems)')
+    parser.add_argument('--bf16-messages', type=str2bool, default=False, help='Quantize message-passing gathers/products to bfloat16 with float32 accumulation (TPU HBM-traffic optimization; ~1.5x on TensorNet at protein sizes)')
+    parser.add_argument('--fused-attention', type=str2bool, default=False, help='Route the equivariant-transformer edge phase through the fused Pallas kernel (requires bf16-messages; the trainer builds the gather plan and spatially sorts batches). Works for energy AND force losses: force training runs the fused kernels for the inner force pass and a composable second-order rule for the outer pass')
+    parser.add_argument('--fused-message', type=str2bool, default=False, help='Route the tensornet message phase (edge MLP + gather + weighted reduce) through the fused Pallas kernel (same requirements/behavior as --fused-attention)')
+    parser.add_argument('--plan-block-rows', type=int, default=32, help='Receiver rows per block of the fused-kernel gather plan (reduced automatically until it divides the padded atom count)')
+    parser.add_argument('--plan-width', type=int, default=512, help='Unique-source capacity per gather-plan block (multiple of 128). Must cover the densest block; overflow fails loudly via the per-batch capacity surveillance')
     parser.add_argument('--steps-per-dispatch', type=int, default=8, help='Optimizer steps fused into one device dispatch (lax.scan over stacked batches). Amortizes per-dispatch host overhead; numerics unchanged. Set 1 to dispatch each step individually.')
     parser.add_argument('--loader-buckets', type=int, default=1, help='Size buckets for batch padding (1 = single worst-case capacity). For heterogeneous datasets (e.g. SPICE) 3-4 buckets cut padded-atom waste several-fold at the cost of one compiled executable per bucket; batches become size-homogeneous (standard bucket-by-length trade-off).')
     parser.add_argument('--standardize', type=bool, default=False, help='If true, multiply prediction by dataset std and add mean')

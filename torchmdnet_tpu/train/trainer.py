@@ -80,6 +80,14 @@ class Trainer:
         self.csv: Optional[CSVLogger] = self.loggers[0] if self.loggers else None
         self._ckpts = []  # (metric, path) top-k tracking
 
+        # --fused-attention/--fused-message: the kernels need a neighbor list
+        # carrying a block gather plan over a spatially sorted batch; the
+        # trainer builds both per batch and threads the list through every
+        # step (the model then skips its internal build).
+        self._fused = bool(
+            self.h.get("fused_attention") or self.h.get("fused_message")
+        )
+
         clip = self.h.get("gradient_clipping", 0.0) or 0.0
         tx = [optax.clip_by_global_norm(clip)] if clip > 0 else []
         tx.append(
@@ -97,6 +105,29 @@ class Trainer:
         self._eval_step_multi = jax.jit(self._eval_step_multi_impl)
 
     # --- core steps -------------------------------------------------------
+
+    def _raise_on_overflow(self, count: float, context: str):
+        if count > 0:
+            raise ValueError(
+                f"Neighbor capacity exceeded in {int(count)} batch(es) of "
+                f"{context}: an atom had more neighbors within a cutoff than "
+                "a static capacity (max_num_neighbors, a prior's "
+                "max_num_neighbors, or the fused-kernel gather-plan width) — "
+                "those lists silently truncated, which is wrong physics "
+                "(reference models/utils.py:251-257 raises per forward). "
+                "Increase the capacity."
+            )
+
+    def _prepare_batch(self, batch):
+        if self._fused:
+            # the gather plan needs spatially coherent atom order
+            # (ops/pallas/onehot_gather.py); sorting permutes every per-atom
+            # leaf incl. neg_dy labels, and atom order is semantically
+            # irrelevant to the models
+            from torchmdnet_tpu.data.batch import spatial_sort
+
+            batch, _ = spatial_sort(batch, cell=self.h.get("cutoff_upper", 5.0))
+        return self._shard_batch(batch)
 
     def _shard_batch(self, batch):
         if self.mesh is None:
@@ -116,12 +147,46 @@ class Trainer:
 
         return jax.tree_util.tree_map(put, batch)
 
-    def _forward_losses(self, params, batch):
+    def _build_nbl(self, batch):
+        """Trace the per-batch neighbor build + capacity surveillance.
+
+        Returns (nbl, overflow): the model's neighbor list (with a gather
+        plan when the fused kernels are enabled) and a 0/1 f32 flag covering
+        EVERY static capacity touched by this batch — the model list, the
+        gather plan, and each prior's internal list.  The flag accumulates
+        on device across the epoch and is checked at the one per-epoch fetch
+        (the reference checks every forward, models/utils.py:251-257; a
+        per-step host fetch would cost 35-70 ms on the tunnel, PERF.md).
+        The duplicate prior-list builds here and inside apply are fused away
+        by XLA CSE (identical pure computations).
+        """
+        nbl = self.model.neighbors(
+            batch,
+            gather_plan=self._fused,
+            plan_block_rows=int(self.h.get("plan_block_rows", 32) or 32),
+            plan_width=int(self.h.get("plan_width", 512) or 512),
+        )
+        flags = [nbl.overflow()]
+        if nbl.cell_overflow is not None:
+            flags.append(nbl.cell_overflow)
+        if nbl.gather_plan is not None:
+            flags.append(nbl.gather_plan.overflow > 0)
+            flags.append(nbl.gather_plan.inv_overflow > 0)
+        for prior in self.model.module.priors:
+            pn = prior.build_neighbor_list(batch.pos, batch.batch, batch.atom_mask)
+            if pn is not None:
+                flags.append(pn.overflow())
+                if pn.cell_overflow is not None:
+                    flags.append(pn.cell_overflow)
+        over = jnp.any(jnp.stack([jnp.asarray(f) for f in flags]))
+        return nbl, over.astype(jnp.float32)
+
+    def _forward_losses(self, params, batch, nbl=None):
         derivative = self.h.get("derivative", False)
         if derivative:
-            y, neg_dy = self.model.energy_and_forces(params, batch)
+            y, neg_dy = self.model.energy_and_forces(params, batch, nbl=nbl)
         else:
-            y = self.model.energy(params, batch)
+            y = self.model.energy(params, batch, nbl=nbl)
             neg_dy = None
         out = {}
         if batch.y is not None:
@@ -133,19 +198,23 @@ class Trainer:
     def _train_step_impl(self, params, opt_state, acc, batch, ema_y, ema_f):
         """One optimizer step.
 
-        ``acc`` is a (3,) on-device accumulator of (total, loss_y, loss_f)
-        epoch sums and ``ema_y``/``ema_f`` are on-device scalars threaded from
-        the previous step: NOTHING here is fetched to the host per step.  On
-        the tunnel platform a host fetch costs 35-70 ms (PERF.md), so per-step
-        `float(loss)` readbacks would dominate training wall-clock; instead
-        the epoch loop fetches the accumulator once per epoch.
+        ``acc`` is a (4,) on-device accumulator of (total, loss_y, loss_f,
+        overflow_count) epoch sums and ``ema_y``/``ema_f`` are on-device
+        scalars threaded from the previous step: NOTHING here is fetched to
+        the host per step.  On the tunnel platform a host fetch costs
+        35-70 ms (PERF.md), so per-step `float(loss)` readbacks would
+        dominate training wall-clock; instead the epoch loop fetches the
+        accumulator once per epoch — which is also when the accumulated
+        neighbor-capacity overflow flag raises (batch 0 is checked eagerly
+        at fit() setup; every later batch is covered by this flag).
         """
         h = self.h
         alpha_y = h.get("ema_alpha_y", 1.0)
         alpha_f = h.get("ema_alpha_neg_dy", 1.0)
+        nbl, over = self._build_nbl(batch)
 
         def loss_fn(p):
-            preds = self._forward_losses(p, batch)
+            preds = self._forward_losses(p, batch, nbl)
             loss_y = raw_y = jnp.asarray(0.0)
             loss_f = raw_f = jnp.asarray(0.0)
             if "y" in preds:
@@ -162,7 +231,7 @@ class Trainer:
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         loss_y, loss_f, _, _ = aux
-        acc = acc + jnp.stack([total, loss_y, loss_f])
+        acc = acc + jnp.stack([total, loss_y, loss_f, over])
         return params, opt_state, acc, loss_y, loss_f
 
     def _train_step_multi_impl(self, params, opt_state, acc, batches, ema_y, ema_f, lrs):
@@ -199,8 +268,9 @@ class Trainer:
         return params, opt_state, acc, ema_y, ema_f
 
     def _eval_step_impl(self, params, batch):
-        preds = self._forward_losses(params, batch)
-        out = {}
+        nbl, over = self._build_nbl(batch)
+        preds = self._forward_losses(params, batch, nbl)
+        out = {"overflow": over}
         if "y" in preds:
             out["y_l1"] = masked_l1(*preds["y"])
             out["y_mse"] = masked_mse(*preds["y"])
@@ -270,15 +340,6 @@ class Trainer:
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
 
-        fused_flag = h.get("fused_attention") or h.get("fused_message")
-        if fused_flag and h.get("derivative") and h.get("neg_dy_weight", 1.0) > 0:
-            raise ValueError(
-                "fused_attention/fused_message support one differentiation "
-                "order (forces, energy training); force-loss training is "
-                "grad-of-grad, which the fused backward kernels do not "
-                "provide. Train with the fused flags off (checkpoints are "
-                "interchangeable) or set neg_dy_weight to 0."
-            )
         batch0 = next(iter(train_loader))
         # loud config checks (reference Distance assert): a too-small
         # max_num_neighbors silently truncates neighbor lists otherwise —
@@ -357,7 +418,7 @@ class Trainer:
         loop — losses accumulate on device and the EMA scalars are threaded
         step-to-step as device arrays (see _train_step_impl)."""
         h = self.h
-        acc = jnp.zeros((3,), jnp.float32)
+        acc = jnp.zeros((4,), jnp.float32)
         n = 0
         ema_y = jnp.asarray(state.ema.get("train_y", 0.0), jnp.float32)
         ema_f = jnp.asarray(state.ema.get("train_neg_dy", 0.0), jnp.float32)
@@ -400,7 +461,7 @@ class Trainer:
             )
 
         for batch in loader:
-            batch = self._shard_batch(batch)
+            batch = self._prepare_batch(batch)
             n += 1
             if spd > 1:
                 key = batch.num_atoms
@@ -415,7 +476,8 @@ class Trainer:
             for batch in chunk:
                 single_step(batch)
         pending.clear()
-        totals, ys, fs = (float(v) for v in np.asarray(acc))  # ONE fetch/epoch
+        totals, ys, fs, over = (float(v) for v in np.asarray(acc))  # ONE fetch/epoch
+        self._raise_on_overflow(over, f"training epoch {state.epoch}")
         state.ema["train_y"] = float(np.asarray(ema_y))
         state.ema["train_neg_dy"] = float(np.asarray(ema_f))
         out = {"train_total_mse_loss": totals / max(n, 1)}
@@ -439,7 +501,7 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + v
 
         for batch in loader:
-            batch = self._shard_batch(batch)
+            batch = self._prepare_batch(batch)
             n += 1
             if spd > 1:
                 key = batch.num_atoms
@@ -455,6 +517,7 @@ class Trainer:
             for batch in chunk:
                 add(self._eval_step(params, batch))
         sums = {k: float(np.asarray(v)) for k, v in sums.items()}
+        self._raise_on_overflow(sums.pop("overflow", 0.0), f"the {stage} epoch")
         n = max(n, 1)
         metrics = {}
         y_w = h.get("y_weight", 1.0)
