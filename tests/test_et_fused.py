@@ -151,18 +151,106 @@ def test_fused_gradients_match_reference():
         )
 
 
-def test_fused_second_order_raises():
+def test_fused_second_order_matches_reference():
+    """grad-of-grad through the fused op (the force-training pattern): the
+    custom_jvp/custom_transpose sandwich routes the outer pass through the
+    composable second-order rule while first order stays on the kernels."""
     nbl, plan, inputs = _setup(seed=2)
     cfg = _cfg()
 
-    def loss(q):
-        x, _ = _call_fused(cfg, plan, dict(inputs, q=q))
-        return jnp.sum(x**2)
+    def make_loss(call):
+        # inner grad wrt the pos-like inputs (dirs), outer grad wrt a weight:
+        # exactly the structure of a force-weighted training loss
+        def loss(wdk):
+            full = dict(inputs, wdk=wdk)
 
-    g = jax.grad(loss)(inputs["q"])  # first order fine
-    assert g.shape == (N, H)
-    with pytest.raises(Exception):
-        jax.hessian(loss)(inputs["q"])
+            def energy(d0):
+                x, vec = call(dict(full, dir0=d0))
+                return jnp.sum(x**2) + jnp.sum(vec**2)
+
+            force = jax.grad(energy)(inputs["dir0"])
+            return jnp.sum(force**2)
+
+        return loss
+
+    loss_f = make_loss(lambda full: _call_fused(cfg, plan, full))
+    loss_r = make_loss(lambda full: _reference(nbl.idx, full))
+    g2_f = jax.grad(loss_f)(inputs["wdk"])
+    g2_r = jax.grad(loss_r)(inputs["wdk"])
+    scale = np.abs(np.asarray(g2_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(g2_f), np.asarray(g2_r), atol=1e-4 * max(scale, 1.0),
+        rtol=1e-4,
+    )
+
+
+def test_fused_hessian_matches_reference():
+    nbl, plan, inputs = _setup(seed=4)
+    cfg = _cfg()
+    # a low-dimensional probe: hessian wrt a scalar scale on q
+    def make_loss(call):
+        def loss(a):
+            x, _ = call(dict(inputs, q=a * inputs["q"]))
+            return jnp.sum(x**2)
+
+        return loss
+
+    # nested grads rather than jax.hessian: hessian vmaps its jacfwd pass
+    # and the custom_transpose primitive has no batching rule (no model
+    # path vmaps over the fused op)
+    h_f = jax.grad(jax.grad(make_loss(lambda fu: _call_fused(cfg, plan, fu))))(1.0)
+    h_r = jax.grad(jax.grad(make_loss(lambda fu: _reference(nbl.idx, fu))))(1.0)
+    np.testing.assert_allclose(float(h_f), float(h_r), rtol=1e-4)
+
+
+def test_fused_force_training_grads_match_composable():
+    """Force-loss training THROUGH the fused model: param gradients of an
+    energy+force MSE loss match the composable path (the round-2 verdict's
+    locked-out workload — reference neighbors_cuda.cu:22-24,43-71 exists
+    precisely to make this twice-differentiable)."""
+    from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
+    from torchmdnet_tpu.models.potential import create_model
+
+    rng = np.random.RandomState(5)
+    n_real = 20
+    z = rng.randint(1, 9, n_real)
+    pos = rng.uniform(0, 5.5, (n_real, 3)).astype(np.float32)
+    batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=24, num_mol=1)
+    batch, _ = spatial_sort(batch)
+    y_t = jnp.asarray([[0.3]], jnp.float32)
+    f_t = jnp.asarray(rng.randn(24, 3).astype(np.float32) * 0.1)
+
+    args = dict(
+        model="equivariant-transformer", embedding_dimension=H, num_layers=1,
+        num_rbf=RBF, rbf_type="expnorm", trainable_rbf=False, activation="silu",
+        attn_activation="silu", neighbor_embedding=False, num_heads=HEADS,
+        distance_influence="both", cutoff_lower=0.0, cutoff_upper=5.0,
+        max_z=100, max_num_neighbors=24, derivative=True, output_model="Scalar",
+        prior_model=None, reduce_op="add", precision=32, atom_filter=-1,
+        bf16_messages=True,
+    )
+    base = create_model(dict(args))
+    fused = create_model(dict(args, fused_attention=True))
+    params = base.init(jax.random.PRNGKey(0), batch)
+    nbl = fused.neighbors(batch, gather_plan=True, plan_block_rows=8, plan_width=128)
+    nbl.raise_on_overflow("test")
+
+    def loss(model):
+        def fn(p):
+            y, neg_dy = model.energy_and_forces(p, batch, nbl=nbl)
+            return jnp.sum((y - y_t) ** 2) + jnp.sum((neg_dy - f_t) ** 2)
+
+        return fn
+
+    g_c = jax.grad(loss(base))(params)
+    g_f = jax.grad(loss(fused))(params)
+    flat_c = jax.tree_util.tree_leaves(g_c)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    for a, b in zip(flat_c, flat_f):
+        scale = np.abs(np.asarray(a)).max()
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=4e-2 * max(scale, 1e-3)
+        )
 
 
 def test_fused_model_matches_composable():

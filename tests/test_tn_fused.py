@@ -102,6 +102,31 @@ def test_tn_fused_gradients():
         )
 
 
+def test_tn_fused_second_order_matches_reference():
+    """grad-of-grad (force-training pattern) through the fused TN op."""
+    nbl, plan, inputs = _setup(seed=2)
+    cfg = FusedTNConfig(h=H, act="silu", interpret=True)
+
+    def make_loss(call):
+        def loss(w1):
+            full = dict(inputs, w1=w1)
+
+            def energy(cutm):
+                return jnp.sum(call(dict(full, cutm=cutm)) ** 2)
+
+            force = jax.grad(energy)(inputs["cutm"])
+            return jnp.sum(force**2)
+
+        return loss
+
+    g_f = jax.grad(make_loss(lambda d: _call(cfg, plan, d)))(inputs["w1"])
+    g_r = jax.grad(make_loss(lambda d: _reference(nbl.idx, d)))(inputs["w1"])
+    scale = np.abs(np.asarray(g_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_r), atol=1e-4 * max(scale, 1.0), rtol=1e-4
+    )
+
+
 def test_tn_fused_model_matches_composable():
     from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
     from torchmdnet_tpu.models.potential import create_model

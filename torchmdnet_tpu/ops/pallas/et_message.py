@@ -32,11 +32,28 @@ cotangent in one pass; source-row cotangents accumulate on the MXU
 (onehot^T @ d_rows -> (W, 7H) f32 per block) and are scattered back
 scatter-free through the plan's inverse table.
 
-Differentiability: exposed through jax.custom_vjp, so forces/MD (one reverse
-pass) work; force TRAINING (grad-of-grad) does not — JAX cannot
-differentiate a custom_vjp backward.  TorchMD_ET only routes here when
-fused_attention=True is explicitly configured; the composable path remains
-the default and the trainer rejects the flag for force losses.
+Differentiability — ALL orders (force training included).  The op is a
+custom_jvp / custom_transpose sandwich (the construction jax's own
+custom_root uses) instead of a custom_vjp (which forbids grad-of-grad):
+
+    fused_et_messages      custom_jvp;   primal = the forward Pallas kernel
+      └ jvp rule           emits _et_dot(primals, tangents)
+    _et_dot                custom_transpose; linear in the tangents
+      ├ forward body       composable JVP (jax.jvp of _composable_reference)
+      │                    — only ever *executed* in true forward-mode use
+      └ transpose          _et_bwd_op: the backward Pallas kernel
+    _et_bwd_op             custom_jvp;   primal = the backward Pallas kernel
+      └ jvp rule           composable (jvp of the composable VJP)
+
+So: forces / MD / energy training (one reverse pass) execute fwd + bwd
+Pallas kernels, exactly as before; force-loss training (grad-of-grad)
+additionally differentiates the backward via the composable second-order
+rule — the inner force evaluation inside each training step still rides the
+kernels, and only the outer transposes run composable (the reference needed
+a hand-written twice-differentiable native backward for the same workload,
+neighbors_cuda.cu:22-24,43-71).  The kernel and the composable reference are
+the same math at bf16 precision, so mixed orders agree to bf16 tolerance
+(asserted by tests/test_et_fused.py).
 
 Reference semantics matched: torchmd_et.py:314-347 (message + aggregate),
 with the ELL/mask conventions of models/et.py.
@@ -497,63 +514,91 @@ def _inverse_scatter(dxw, plan: BlockGatherPlan):
     return picked.sum(axis=1, dtype=jnp.float32)
 
 
-def _zero_ct(x):
-    if hasattr(x, "dtype") and (
-        jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_
-    ):
-        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
-    return jnp.zeros_like(x)
-
-
 # --------------------------------------------------------------------------
-# public op
+# composable reference (the kernels' math twin, used for higher-order rules
+# and as the test oracle)
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_et_messages(
-    cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
-    wdk, bdk, wdv, bdv,
-):
-    """Fused ET edge phase: (x_agg (N, H), vec_agg (N, 3H)) in f32.
+def reconstruct_idx(plan: BlockGatherPlan):
+    """The ELL neighbor idx the plan was built from: idx[i, k] =
+    u[i // R, local[i, k]] (exact absent plan overflow, which is flagged)."""
+    n, k = plan.local.shape
+    r = plan.block_rows
+    rows = jnp.arange(n, dtype=jnp.int32) // r
+    return plan.u[rows[:, None], plan.local]
 
-    Args (all arrays one message dtype, normally bf16):
-        cfg: FusedETConfig (static).
-        plan: BlockGatherPlan over the layer's ELL neighbor idx.
-        q, k: (N, H) node projections; v: (N, 3H); vec0..2: (N, H) the xyz
-            components of the running vector features.
-        ea: (N, K, RBF) edge RBF features.
-        cutm: (N, K) cosine_cutoff(dist) * mask; msk: (N, K) 1.0/0.0 mask.
-        dir0..2: (N, K) edge direction components (zero on self/invalid).
-        wdk/bdk/wdv/bdv: distance-filter MLP params, bdk/bdv shaped (1, F);
-            pass zeros-shaped dummies when cfg.has_dk/has_dv is False.
 
-    Differentiable ONCE (custom_vjp): forces and energy training work;
-    force training (grad-of-grad) must use the composable path.
+def _composable_reference(cfg, idx, ones, inputs):
+    """Plain-JAX twin of _fwd_kernel: same math, same bf16-compute /
+    f32-accumulate discipline, composable ops only.  Never executed on the
+    reverse-mode hot path — it is the body the higher-order autodiff rules
+    differentiate (and the forward-mode body).
+
+    ``idx``/``ones`` arrive as explicit arguments (not built in-body):
+    the custom_transpose forward body must not create array constants —
+    they become constvars its staging cannot re-associate ("Too many
+    leaves for PyTreeDef").
     """
-    out, _ = _fwd_rule(
-        cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
-        wdk, bdk, wdv, bdv,
-    )
-    return out
+    (q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
+     wdk, bdk, wdv, bdv) = inputs
+    h = cfg.h
+    bf = q.dtype
+    ea2 = ea.reshape(-1, ea.shape[-1])
+    dk = dv = None
+    if cfg.has_dk:
+        pre = jax.lax.dot(ea2, wdk, preferred_element_type=jnp.float32)
+        dk = _act_v(cfg.act, pre.astype(bf) + bdk).reshape(ea.shape[:2] + (h,))
+    if cfg.has_dv:
+        pre = jax.lax.dot(ea2, wdv, preferred_element_type=jnp.float32)
+        dv = _act_v(cfg.act, pre.astype(bf) + bdv).reshape(ea.shape[:2] + (3 * h,))
+    kj = k[idx]
+    prod = q[:, None, :] * kj
+    if dk is not None:
+        prod = prod * dk
+    rc = prod.shape[0] * prod.shape[1]
+    pre_a = jax.lax.dot(
+        prod.reshape(rc, h), ones, preferred_element_type=jnp.float32
+    ).astype(bf).reshape(prod.shape)
+    attn = _act_v(cfg.attn_act, pre_a) * cutm[..., None].astype(bf)
+    vdv = v[idx]
+    if dv is not None:
+        vdv = vdv * dv
+    x_m = vdv[..., :h]
+    vw1 = vdv[..., h : 2 * h] * msk[..., None].astype(bf)
+    vw2 = vdv[..., 2 * h :]
+    x_agg = (x_m * attn).astype(jnp.float32).sum(axis=1)
+    vec_parts = []
+    for c, (vec_c, dir_c) in enumerate(
+        ((vec0, dir0), (vec1, dir1), (vec2, dir2))
+    ):
+        msg = vec_c[idx] * vw1 + vw2 * dir_c[..., None].astype(bf)
+        vec_parts.append(msg.astype(jnp.float32).sum(axis=1))
+    return x_agg, jnp.concatenate(vec_parts, axis=-1)
 
 
-def _fwd_rule(cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2, wdk, bdk, wdv, bdv):
-    src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
-    xw = src[plan.u]  # (NB, W, 7H) — the only HBM gather of the edge phase
-    dirs = (dir0, dir1, dir2)
-    x_agg, vec_agg = _run_fwd(cfg, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv, bdv)
-    # residual is the compact (N, 7H) src, NOT the W/K-expanded xw tables —
-    # at STMV scale the per-layer xw is ~GBs; the backward regathers it
-    res = (plan, q, ea, cutm, msk, dir0, dir1, dir2, src, wdk, bdk, wdv, bdv)
-    return (x_agg, vec_agg), res
+# --------------------------------------------------------------------------
+# backward op: the Pallas backward kernel as its own differentiable-once op
+# --------------------------------------------------------------------------
 
 
-def _bwd_rule(cfg, res, ct):
-    plan, q, ea, cutm, msk, dir0, dir1, dir2, src, wdk, bdk, wdv, bdv = res
-    xw = src[plan.u]
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _et_bwd_op(cfg, plan, inputs, ct):
+    """VJP of the fused edge phase, computed by the backward Pallas kernel.
+
+    inputs: the 16-tuple of fused_et_messages array args; ct: (ct_x, ct_vec).
+    Returns the 16-tuple of input cotangents (zeros for the 0/1 mask).
+    Differentiating THIS op (force-loss training's outer pass) runs the
+    composable second-order rule below.
+    """
+    (q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
+     wdk, bdk, wdv, bdv) = inputs
     ct_x, ct_vec = ct
     h = cfg.h
+    src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
+    # regather the (NB, W, 7H) table instead of storing it as a residual —
+    # at STMV scale the per-layer xw is ~GBs
+    xw = src[plan.u]
     outs = _run_bwd(
         cfg, plan, q, ea, cutm, msk, (dir0, dir1, dir2), xw,
         wdk, bdk, wdv, bdv,
@@ -561,9 +606,7 @@ def _bwd_rule(cfg, res, ct):
     )
     dq, dea, dcutm, dd0, dd1, dd2, dxw, dwdk_p, dbdk_p, dwdv_p, dbdv_p = outs
     d_src = _inverse_scatter(dxw, plan).astype(q.dtype)  # (N, 7H)
-    d_plan = jax.tree_util.tree_map(_zero_ct, plan)
     return (
-        d_plan,
         dq.astype(q.dtype),
         d_src[:, :h],
         d_src[:, h : 4 * h],
@@ -583,4 +626,107 @@ def _bwd_rule(cfg, res, ct):
     )
 
 
-fused_et_messages.defvjp(_fwd_rule, _bwd_rule)
+@_et_bwd_op.defjvp
+def _et_bwd_op_jvp(cfg, primals, tangents):
+    """Second-order rule: jvp of the composable VJP (plain ops, so the outer
+    reverse pass can transpose it).  The primal still runs the Pallas bwd
+    kernel — inside a force-training step that is the inner force pass."""
+    plan, inputs, ct = primals
+    _, d_inputs, d_ct = tangents
+    primal_out = _et_bwd_op(cfg, plan, inputs, ct)
+
+    idx = reconstruct_idx(plan)
+    ones = _ones_block(cfg.h, cfg.heads, inputs[0].dtype)
+
+    def ref_vjp(inputs, ct):
+        _, vjp = jax.vjp(
+            lambda ins: _composable_reference(cfg, idx, ones, ins), inputs
+        )
+        (d,) = vjp(ct)
+        # the composable vjp yields a float mask cotangent; zero it like the
+        # kernel does (mask is 0/1 data, not a differentiable quantity)
+        return d[:8] + (jnp.zeros_like(inputs[8]),) + d[9:]
+
+    _, tangent_out = jax.jvp(ref_vjp, (inputs, ct), (d_inputs, d_ct))
+    return primal_out, tangent_out
+
+
+# --------------------------------------------------------------------------
+# tangent op: linear in the tangents, transpose = the backward kernel
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _et_dot(cfg):
+    from jax.custom_transpose import custom_transpose
+
+    @custom_transpose
+    def dot(res, d_inputs):
+        plan, idx, ones, inputs = res
+        _, tangent = jax.jvp(
+            lambda ins: _composable_reference(cfg, idx, ones, ins),
+            (inputs,), (d_inputs,),
+        )
+        return tangent
+
+    @dot.def_transpose
+    def dot_t(res, ct):
+        plan, idx, ones, inputs = res
+        return _et_bwd_op(cfg, plan, inputs, ct)
+
+    return dot
+
+
+# --------------------------------------------------------------------------
+# public op
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def fused_et_messages(
+    cfg, plan, q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
+    wdk, bdk, wdv, bdv,
+):
+    """Fused ET edge phase: (x_agg (N, H), vec_agg (N, 3H)) in f32.
+
+    Args (all arrays one message dtype, normally bf16):
+        cfg: FusedETConfig (static).
+        plan: BlockGatherPlan over the layer's ELL neighbor idx.
+        q, k: (N, H) node projections; v: (N, 3H); vec0..2: (N, H) the xyz
+            components of the running vector features.
+        ea: (N, K, RBF) edge RBF features.
+        cutm: (N, K) cosine_cutoff(dist) * mask; msk: (N, K) 1.0/0.0 mask.
+        dir0..2: (N, K) edge direction components (zero on self/invalid).
+        wdk/bdk/wdv/bdv: distance-filter MLP params, bdk/bdv shaped (1, F);
+            pass zeros-shaped dummies when cfg.has_dk/has_dv is False.
+
+    Differentiable at every order (see module docstring): one reverse pass
+    (forces, energy training) runs the fwd+bwd Pallas kernels; grad-of-grad
+    (force-loss training) runs the composable second-order rule for the
+    outer pass while the inner force evaluation stays fused.
+    """
+    src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
+    xw = src[plan.u]  # (NB, W, 7H) — the only HBM gather of the edge phase
+    return _run_fwd(
+        cfg, plan, q, ea, cutm, msk, (dir0, dir1, dir2), xw, wdk, bdk, wdv, bdv
+    )
+
+
+@fused_et_messages.defjvp
+def _fused_et_messages_jvp(cfg, primals, tangents):
+    from jax.core import ShapedArray
+
+    plan, *arrays = primals
+    _, *d_arrays = tangents
+    out = fused_et_messages(cfg, plan, *arrays)
+    out_types = jax.tree_util.tree_map(
+        lambda o: ShapedArray(jnp.shape(o), o.dtype), out
+    )
+    # idx/ones ride as explicit residuals: the custom_transpose body must
+    # not create array constants (see _composable_reference)
+    idx = reconstruct_idx(plan)
+    ones = _ones_block(cfg.h, cfg.heads, arrays[0].dtype)
+    d_out = _et_dot(cfg)(
+        out_types, (plan, idx, ones, tuple(arrays)), tuple(d_arrays)
+    )
+    return out, d_out

@@ -11,9 +11,13 @@ where cat holds the 9 unique irrep components and wb maps component ->
 intermediates, and the gathered (N, K, 9H) rows in HBM; this kernel keeps
 all of them in VMEM per receiver block (same architecture as
 ops/pallas/et_message.py: one-hot MXU gather from the BlockGatherPlan's
-compacted tables, f32 K-axis accumulators, a recomputing backward kernel
-wired through jax.custom_vjp — differentiable once; force training uses
-the composable path with the identical parameter tree).
+compacted tables, f32 K-axis accumulators, a recomputing backward kernel).
+
+Differentiable at EVERY order via the same custom_jvp / custom_transpose
+sandwich as the ET kernel (see et_message.py module docstring): one reverse
+pass (forces, MD, energy training) runs the fwd+bwd Pallas kernels;
+grad-of-grad (force-loss training) routes the outer pass through the
+composable second-order rule while the inner force evaluation stays fused.
 
 Wiring: TensorNet(fused_message=True) + neighbors(gather_plan=True) +
 bf16_messages; see models/tensornet.py.
@@ -33,7 +37,7 @@ from torchmdnet_tpu.ops.pallas.et_message import (
     _dact_v,
     _chunks,
     _inverse_scatter,
-    _zero_ct,
+    reconstruct_idx,
 )
 
 
@@ -204,47 +208,40 @@ def _specs(r, k, rbf, w, h, f9):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_tn_messages(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3):
-    """Fused TensorNet message phase: m (N, 9H) f32.
-
-    Args:
-        cfg: FusedTNConfig (static).
-        plan: BlockGatherPlan over the layer's ELL idx.
-        cat: (N, 9H) irrep-component source rows (message dtype, bf16).
-        ea: (N, K, RBF) edge RBF features (bf16).
-        cutm: (N, K) f32 cosine_cutoff(dist) * mask.
-        w1/b1, w2/b2, w3/b3: the edge MLP params (bf16, biases (1, F)).
-
-    Differentiable once (custom_vjp) — forces/MD/energy training; force
-    training uses the composable path.
-    """
-    out, _ = _fwd_rule(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3)
-    return out
-
-
-def _fwd_rule(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3):
-    n, k = plan.local.shape
-    nb, w = plan.u.shape
-    rbf = ea.shape[-1]
+def _composable_tn_reference(cfg, plan, inputs):
+    """Plain-JAX twin of _fwd_kernel (bf16 compute, f32 accumulate); the body
+    the higher-order rules differentiate — never executed in pure reverse
+    mode."""
+    cat, ea, cutm, w1, b1, w2, b2, w3, b3 = inputs
     h = cfg.h
-    xw = cat[plan.u]  # (NB, W, 9H)
-    kern = functools.partial(_fwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
-    r = n // nb
-    m = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=_specs(r, k, rbf, w, h, 9 * h),
-        out_specs=pl.BlockSpec((r, 9 * h), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 9 * h), jnp.float32),
-        interpret=cfg.interpret,
-    )(plan.local, xw, ea.reshape(n * k, rbf), cutm, w1, b1, w2, b2, w3, b3)
-    res = (plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3)
-    return m, res
+    bf = cat.dtype
+    idx = reconstruct_idx(plan)
+    n, k = idx.shape
+    ea2 = ea.reshape(n * k, -1)
+    _, _, _, _, _, t3 = _mlp_fwd(
+        cfg.act, ea2, _Val(w1), _Val(b1), _Val(w2), _Val(b2), _Val(w3), _Val(b3), bf
+    )
+    wm = t3.reshape(n, k, 3 * h)
+    wb = _wb_cat(wm, h) * cutm[..., None].astype(bf)
+    g = cat[idx]  # (N, K, 9H)
+    return (g * wb).astype(jnp.float32).sum(axis=1)
 
 
-def _bwd_rule(cfg, res, ct):
-    plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3 = res
+class _Val:
+    """Adapter so _mlp_fwd's ref[...] reads work on plain arrays."""
+
+    def __init__(self, a):
+        self.a = a
+
+    def __getitem__(self, _):
+        return self.a
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _tn_bwd_op(cfg, plan, inputs, ct):
+    """VJP of the fused TN message phase via the backward Pallas kernel;
+    differentiating THIS op runs the composable second-order rule."""
+    cat, ea, cutm, w1, b1, w2, b2, w3, b3 = inputs
     n, k = plan.local.shape
     nb, w = plan.u.shape
     rbf = ea.shape[-1]
@@ -288,7 +285,6 @@ def _bwd_rule(cfg, res, ct):
     dea, dcutm, dxw, dw1, db1, dw2, db2, dw3, db3 = outs
     d_cat = _inverse_scatter(dxw.astype(jnp.float32), plan).astype(cat.dtype)
     return (
-        jax.tree_util.tree_map(_zero_ct, plan),
         d_cat,
         dea.reshape(ea.shape).astype(ea.dtype),
         dcutm.astype(cutm.dtype),
@@ -301,4 +297,86 @@ def _bwd_rule(cfg, res, ct):
     )
 
 
-fused_tn_messages.defvjp(_fwd_rule, _bwd_rule)
+@_tn_bwd_op.defjvp
+def _tn_bwd_op_jvp(cfg, primals, tangents):
+    """Second-order rule: jvp of the composable VJP (transposable plain ops);
+    the primal still runs the Pallas bwd kernel."""
+    plan, inputs, ct = primals
+    _, d_inputs, d_ct = tangents
+    primal_out = _tn_bwd_op(cfg, plan, inputs, ct)
+
+    def ref_vjp(inputs, ct):
+        _, vjp = jax.vjp(
+            lambda ins: _composable_tn_reference(cfg, plan, ins), inputs
+        )
+        (d,) = vjp(ct)
+        return d
+
+    _, tangent_out = jax.jvp(ref_vjp, (inputs, ct), (d_inputs, d_ct))
+    return primal_out, tangent_out
+
+
+@functools.lru_cache(maxsize=None)
+def _tn_dot(cfg):
+    from jax.custom_transpose import custom_transpose
+
+    @custom_transpose
+    def dot(res, d_inputs):
+        plan, inputs = res
+        _, tangent = jax.jvp(
+            lambda ins: _composable_tn_reference(cfg, plan, ins),
+            (inputs,), (d_inputs,),
+        )
+        return tangent
+
+    @dot.def_transpose
+    def dot_t(res, ct):
+        plan, inputs = res
+        return _tn_bwd_op(cfg, plan, inputs, ct)
+
+    return dot
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def fused_tn_messages(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3):
+    """Fused TensorNet message phase: m (N, 9H) f32.
+
+    Args:
+        cfg: FusedTNConfig (static).
+        plan: BlockGatherPlan over the layer's ELL idx.
+        cat: (N, 9H) irrep-component source rows (message dtype, bf16).
+        ea: (N, K, RBF) edge RBF features (bf16).
+        cutm: (N, K) f32 cosine_cutoff(dist) * mask.
+        w1/b1, w2/b2, w3/b3: the edge MLP params (bf16, biases (1, F)).
+
+    Differentiable at every order (module docstring): one reverse pass runs
+    the fwd+bwd Pallas kernels; grad-of-grad routes the outer pass through
+    the composable second-order rule.
+    """
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    rbf = ea.shape[-1]
+    h = cfg.h
+    xw = cat[plan.u]  # (NB, W, 9H)
+    kern = functools.partial(_fwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
+    r = n // nb
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=_specs(r, k, rbf, w, h, 9 * h),
+        out_specs=pl.BlockSpec((r, 9 * h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 9 * h), jnp.float32),
+        interpret=cfg.interpret,
+    )(plan.local, xw, ea.reshape(n * k, rbf), cutm, w1, b1, w2, b2, w3, b3)
+
+
+@fused_tn_messages.defjvp
+def _fused_tn_messages_jvp(cfg, primals, tangents):
+    from jax.core import ShapedArray
+
+    plan, *arrays = primals
+    _, *d_arrays = tangents
+    out = fused_tn_messages(cfg, plan, *arrays)
+    out_types = ShapedArray(jnp.shape(out), out.dtype)
+    d_out = _tn_dot(cfg)(out_types, (plan, tuple(arrays)), tuple(d_arrays))
+    return out, d_out
