@@ -114,3 +114,56 @@ def test_md_periodic_box_multi_molecule():
     np.testing.assert_array_equal(
         np.asarray(sim_ref.state.pos)[~mask], np.asarray(batch.pos)[~mask]
     )
+
+
+def test_ring_edge_partition_md_matches_plain():
+    """MD with edge_partition=True (ring executor over the 8-device mesh,
+    skin rebuilds with NO host fetch — overflow folds into MDState.stale)
+    reproduces the plain single-device skin trajectory."""
+    from jax.sharding import Mesh
+
+    from torchmdnet_tpu.data.batch import spatial_sort
+
+    args = load_example_args(
+        "graph-network", num_layers=1, embedding_dimension=16, num_rbf=8,
+        derivative=True, max_num_neighbors=40,
+    )
+    model = create_model(args)
+    mol = random_molecule(58, seed=7, scale=4.0)
+    batch = pad_molecules([mol], num_atoms=64, num_mol=1)
+    batch, _ = spatial_sort(batch)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    kw = dict(timestep_fs=0.2, neighbor_skin=1.5, rebuild_every=5)
+    sim_ref = Simulation(model, params, batch, **kw)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    sim_ring = Simulation(
+        model, params, batch, mesh=mesh, edge_partition=True, **kw
+    )
+    sim_ref.set_velocities_from_temperature(50.0)
+    sim_ring.set_velocities_from_temperature(50.0)
+    sim_ref.step(10)
+    sim_ring.step(10)
+    np.testing.assert_allclose(
+        np.asarray(sim_ring.state.pos),
+        np.asarray(sim_ref.state.pos),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    assert not bool(np.asarray(sim_ring.state.stale))
+
+
+def test_ring_md_requires_skin():
+    from jax.sharding import Mesh
+
+    args = load_example_args(
+        "graph-network", num_layers=1, embedding_dimension=16, num_rbf=8,
+        derivative=True,
+    )
+    model = create_model(args)
+    mol = random_molecule(14, seed=3, scale=2.0)
+    batch = pad_molecules([mol], num_atoms=16, num_mol=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    with pytest.raises(ValueError, match="neighbor_skin"):
+        Simulation(model, params, batch, mesh=mesh, edge_partition=True)

@@ -59,6 +59,15 @@ class Simulation:
             neighbor list is rebuilt inside every force evaluation).
         rebuild_every: steps between neighbor rebuilds when skin > 0.
         neighbor_strategy: 'auto' | 'brute' | 'cell' for the skin builds.
+        mesh + edge_partition: run every force evaluation ring
+            edge-partitioned over the mesh (atom rows sharded, O(N/D)
+            per-device memory; parallel/edge_partition.RingExecutor) — MD on
+            systems beyond one chip's HBM.  Requires neighbor_skin > 0 (the
+            list is built globally at rebuild cadence and ring-refined on
+            shard per step) and a spatially sorted batch
+            (data.batch.spatial_sort) for tight boundary plans.  Capacity
+            overflow at a rebuild surfaces through ``MDState.stale`` exactly
+            like skin staleness — no host fetch per rebuild.
     """
 
     def __init__(
@@ -75,6 +84,9 @@ class Simulation:
         rebuild_every: int = 20,
         neighbor_strategy: str = "auto",
         neighbor_kwargs: Optional[dict] = None,
+        mesh=None,
+        edge_partition: bool = False,
+        boundary_limit: int = 65536,
     ):
         self.model = model
         self.params = params
@@ -93,6 +105,28 @@ class Simulation:
         atom_mask3 = batch.atom_mask[:, None]
         lo = model.args.get("cutoff_lower", 0.0)
         hi = model.args.get("cutoff_upper", 5.0)
+
+        self.ring = None
+        if edge_partition:
+            if mesh is None:
+                raise ValueError("edge_partition=True requires a device mesh")
+            if self.skin <= 0.0:
+                raise ValueError(
+                    "edge_partition MD requires neighbor_skin > 0: the "
+                    "neighbor list is built globally at rebuild cadence and "
+                    "ring-refined per step (a per-step global rebuild would "
+                    "serialize through the host)."
+                )
+            from torchmdnet_tpu.parallel.edge_partition import (
+                shard_batch_by_atoms,
+                sized_ring_executor,
+            )
+
+            self.ring = sized_ring_executor(
+                model, batch, mesh, boundary_limit=boundary_limit, box=box
+            )
+            batch = shard_batch_by_atoms(batch, mesh)
+            self.batch = batch
 
         def forces(pos, nbl=None):
             y, neg_dy = model.energy_and_forces(
@@ -173,14 +207,76 @@ class Simulation:
                 pos=pos, vel=vel, key=key, energy=ys[-1], stale=stale0 | bad
             )
 
+        if self.ring is not None:
+            ringex = self.ring
+
+            @jax.jit
+            def build_ctx(pos):
+                # global skin list + ring plans + overflow flag, one jitted
+                # program at rebuild cadence — NO host fetch (the flag folds
+                # into MDState.stale below, PERF.md rule 8)
+                return ringex.build(
+                    batch.replace(pos=pos), skin=self.skin,
+                    strategy=neighbor_strategy, **(neighbor_kwargs or {}),
+                )
+
+            def forces_ring(pos, ctx):
+                y, f = ringex.energy_and_forces(
+                    params, batch.replace(pos=pos), ctx, refine=(lo, hi)
+                )
+                return y, jnp.where(atom_mask3, f, 0.0)
+
+            def one_step_ring(state, ctx):
+                pos, vel, f, key = state
+                vel = vel + 0.5 * dt * _ACCEL * f / self.masses
+                pos = pos + dt * vel
+                y2, f2 = forces_ring(pos, ctx)
+                vel = vel + 0.5 * dt * _ACCEL * f2 / self.masses
+                if gamma > 0.0 and temperature_K is not None:
+                    key, sub = jax.random.split(key)
+                    c1 = jnp.exp(-gamma * dt)
+                    sigma = jnp.sqrt(
+                        (1 - c1**2) * kT / self.masses * _ACCEL / dt * dt
+                    )
+                    noise = sigma * jax.random.normal(sub, vel.shape, dtype=vel.dtype)
+                    vel = c1 * vel + noise
+                vel = jnp.where(atom_mask3, vel, 0.0)
+                return (pos, vel, f2, key), y2
+
+            @partial(jax.jit, static_argnames=("chunk",), donate_argnums=(0,))
+            def run_chunk_ring(state, ctx, chunk):
+                pos0 = state.pos
+                _, f = forces_ring(state.pos, ctx)
+
+                def inner(c, _):
+                    (p, v, fc, k), y = one_step_ring(c, ctx)
+                    d2 = jnp.where(
+                        batch.atom_mask, jnp.sum((p - pos0) ** 2, axis=-1), 0.0
+                    )
+                    return (p, v, fc, k), (y, jnp.max(d2))
+
+                (pos, vel, f, key), (ys, d2s) = jax.lax.scan(
+                    inner, (state.pos, state.vel, f, state.key), None, length=chunk
+                )
+                bad = (jnp.max(d2s) > (0.5 * self.skin) ** 2) | ctx.overflow
+                stale0 = jnp.zeros((), bool) if state.stale is None else state.stale
+                return MDState(
+                    pos=pos, vel=vel, key=key, energy=ys[-1], stale=stale0 | bad
+                )
+
+            self._build_ctx = build_ctx
+            self._run_chunk_ring = run_chunk_ring
+
         self._run = run
         self._build_nbl = build_nbl
         self._run_chunk = run_chunk
-        # loud setup check (reference Distance assert / check_errors):
+        # loud setup checks (reference Distance assert / check_errors):
         # silently truncated neighbor lists would produce wrong forces
         model.neighbors(
             batch, box=box, skin=self.skin, **(neighbor_kwargs or {})
         ).raise_on_overflow("the initial MD configuration")
+        for prior in model.module.priors:
+            prior.check_neighbor_capacity(batch, "the initial MD configuration")
         self.state = MDState(
             # own a private copy: step() donates state buffers, and the
             # caller's batch.pos must survive (it is also the template)
@@ -209,6 +305,16 @@ class Simulation:
         return float(jnp.where(self.batch.mol_mask[:, None], y, 0.0).sum())
 
     def step(self, n: int = 1):
+        if self.ring is not None:
+            chunk = min(self.rebuild_every, n)
+            n_chunks, rem = divmod(n, chunk)
+            for _ in range(n_chunks):
+                ctx = self._build_ctx(self.state.pos)
+                self.state = self._run_chunk_ring(self.state, ctx, chunk)
+            if rem:
+                ctx = self._build_ctx(self.state.pos)
+                self.state = self._run_chunk_ring(self.state, ctx, rem)
+            return self.state
         if self.skin > 0.0 and n >= self.rebuild_every:
             chunk = self.rebuild_every
             n_chunks, rem = divmod(n, chunk)

@@ -29,12 +29,28 @@ convention and box-validity preconditions as the reference
 (neighbors_cpu.cpp:31-48, common.cuh:142-206).
 """
 
+from contextlib import contextmanager
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+# capture_neighbor_builds: records (signature, NeighborList) of every build
+# made inside the context — the ring executor uses it to pre-build pair
+# priors' internal lists on the GLOBAL batch before sharding.
+_CAPTURE: Optional[list] = None
+
+
+@contextmanager
+def capture_neighbor_builds():
+    global _CAPTURE
+    prev, _CAPTURE = _CAPTURE, []
+    try:
+        yield _CAPTURE
+    finally:
+        _CAPTURE = prev
 
 
 # atom count at which 'auto' switches from brute to the cell list.  The
@@ -163,8 +179,12 @@ class NeighborList:
         (up to slot order, which every masked reduction is invariant to).
         The self-loop column (if present) is preserved unconditionally, as in
         a fresh ``loop=True`` build.
+
+        The neighbor-position read goes through ``ell_gather`` so refinement
+        also works inside a ring edge-partitioned scope (local rows, global
+        ids) — ring MD refines the skin list per step on-shard.
         """
-        pj = pos[self.idx]
+        pj = ell_gather(pos, self.idx)
         dx = pj[..., 0] - pos[:, None, 0]
         dy = pj[..., 1] - pos[:, None, 1]
         dz = pj[..., 2] - pos[:, None, 2]
@@ -503,20 +523,43 @@ def neighbor_list(
     """
     from torchmdnet_tpu.parallel.context import ring_info
 
-    if ring_info() is not None:
-        raise NotImplementedError(
-            "neighbor_list called inside a ring edge-partitioned scope: this "
-            "shard only sees local atoms, so the list would miss cross-shard "
-            "pairs. Build the list globally outside (model.neighbors / "
-            "ring_apply does this) and pass it in."
+    sig = (int(k), float(cutoff_lower), float(cutoff_upper), bool(loop))
+    info = ring_info()
+    if info is not None:
+        # Inside a ring edge-partitioned scope this shard only sees local
+        # atoms, so building here would miss cross-shard pairs.  Pair priors'
+        # internal builds are instead served from the PREBUILT global lists
+        # the ring executor captured outside the shard_map (matched by the
+        # static build signature).
+        entry = info.match_build(sig)
+        if entry is None:
+            raise NotImplementedError(
+                "neighbor_list called inside a ring edge-partitioned scope "
+                f"with no prebuilt list for signature {sig}: this shard only "
+                "sees local atoms, so the list would miss cross-shard pairs. "
+                "Build the list globally outside (model.neighbors / "
+                "ring_apply capture pair-prior builds automatically) and "
+                "pass it in."
+            )
+        return NeighborList(
+            idx=entry.idx,
+            mask=entry.mask,
+            n_neighbors=entry.n_neighbors,
+            self_loops=bool(loop),
         )
     n = pos.shape[0]
+
+    def record(nbl):
+        if _CAPTURE is not None:
+            _CAPTURE.append((sig, nbl))
+        return nbl
+
     if strategy == "auto":
         strategy = "cell" if n >= _AUTO_CELL_THRESHOLD else "brute"
     if strategy == "cell":
         from torchmdnet_tpu.ops.cell_list import neighbor_list_cell
 
-        return neighbor_list_cell(
+        return record(neighbor_list_cell(
             pos,
             batch,
             atom_mask,
@@ -526,7 +569,7 @@ def neighbor_list(
             loop=loop,
             box=box,
             **cell_kwargs,
-        )
+        ))
     if strategy == "brute-pallas":
         # fused Pallas streaming-compaction kernel (no PBC); semantics match
         # brute exactly
@@ -551,9 +594,9 @@ def neighbor_list(
             self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
             idx = jnp.concatenate([self_idx, idx], axis=1)
             mask = jnp.concatenate([atom_mask[:, None], mask], axis=1)
-        return NeighborList(
+        return record(NeighborList(
             idx=idx, mask=mask, n_neighbors=n_neighbors, self_loops=loop
-        )
+        ))
     if strategy != "brute":
         raise ValueError(f"Unknown neighbor strategy: {strategy}")
     if batch is None:
@@ -574,7 +617,9 @@ def neighbor_list(
         loop=bool(loop),
         use_box=use_box,
     )
-    return NeighborList(idx=idx, mask=mask, n_neighbors=n_neighbors, self_loops=loop)
+    return record(
+        NeighborList(idx=idx, mask=mask, n_neighbors=n_neighbors, self_loops=loop)
+    )
 
 
 def edge_geometry_components(

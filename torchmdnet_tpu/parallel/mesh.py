@@ -14,8 +14,14 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(ndevices: int = -1, axis_name: str = "dp") -> Optional[Mesh]:
-    """1-D data-parallel mesh over local devices; None for a single device."""
+def make_mesh(
+    ndevices: int = -1, axis_name: str = "dp", allow_single: bool = False
+) -> Optional[Mesh]:
+    """1-D data-parallel mesh over local devices.
+
+    Returns None for a single device unless ``allow_single`` (modes that
+    REQUIRE a mesh — e.g. --edge-partition — run fine on a degenerate
+    1-device ring)."""
     devices = jax.devices()
     if ndevices is None or ndevices < 0:
         ndevices = len(devices)
@@ -28,9 +34,9 @@ def make_mesh(ndevices: int = -1, axis_name: str = "dp") -> Optional[Mesh]:
             f"a single device. Using {len(devices)}."
         )
     ndevices = min(ndevices, len(devices))
-    if ndevices <= 1:
+    if ndevices <= 1 and not allow_single:
         return None
-    return Mesh(np.array(devices[:ndevices]), (axis_name,))
+    return Mesh(np.array(devices[:max(ndevices, 1)]), (axis_name,))
 
 
 def make_2d_mesh(dp: int, mp: int, axis_names=("dp", "mp")) -> Mesh:

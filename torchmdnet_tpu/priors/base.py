@@ -15,6 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from torchmdnet_tpu.ops.segment import segment_reduce
+
 
 class BasePrior(nn.Module):
     def get_init_args(self) -> Dict:
@@ -70,5 +72,7 @@ def molecular_pair_energy_sum(e_pair, batch_ids, atom_mask, mask, num_mol: int):
     e_pair = jnp.where(mask, e_pair, 0.0)
     per_atom = e_pair.sum(axis=1)  # (N,)
     per_atom = jnp.where(atom_mask, per_atom, 0.0)
-    per_mol = jax.ops.segment_sum(per_atom, batch_ids, num_segments=num_mol + 1)
+    # segment_reduce (not a raw segment_sum) so the reduction becomes the
+    # two-stage partial-sum + psum under ring edge-partitioning
+    per_mol = segment_reduce(per_atom, batch_ids, num_mol + 1, "sum")
     return per_mol[:num_mol, None]

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from torchmdnet_tpu.constants import COULOMB_CONSTANT_JM
-from torchmdnet_tpu.ops.neighbors import edge_geometry, neighbor_list
+from torchmdnet_tpu.ops.neighbors import edge_geometry, ell_gather, neighbor_list
 from torchmdnet_tpu.priors.base import BasePrior, molecular_pair_energy_sum
 
 
@@ -56,7 +56,7 @@ class Coulomb(BasePrior):
         dist_safe = jnp.where(nbl.mask, dist, 1.0)
         pq = extra["partial_charges"]
         qi = pq[:, None]
-        qj = pq[nbl.idx]
+        qj = ell_gather(pq, nbl.idx)  # ring-safe cross-atom read
         e_pair = jax.scipy.special.erf(self.alpha * dist_safe) * qi * qj / dist_safe
         e_mol = molecular_pair_energy_sum(e_pair, batch_ids, atom_mask, nbl.mask, num_mol)
         e_mol = 0.5 * (COULOMB_CONSTANT_JM / self.energy_scale / self.distance_scale) * e_mol

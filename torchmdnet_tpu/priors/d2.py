@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from torchmdnet_tpu.constants import AVOGADRO
-from torchmdnet_tpu.ops.neighbors import edge_geometry, neighbor_list
+from torchmdnet_tpu.ops.neighbors import edge_geometry, ell_gather, neighbor_list
 from torchmdnet_tpu.priors.base import BasePrior, molecular_pair_energy_sum
 
 # fmt: off
@@ -76,9 +76,11 @@ class D2(BasePrior):
         zmap = jnp.asarray(self.atomic_number, dtype=jnp.int32)
         table = jnp.asarray(_C6_RR, dtype=pos.dtype)
         zi = zmap[z]
-        zj = zi[nbl.idx]  # (N, K)
         c6i, rri = table[zi, 0][:, None], table[zi, 1][:, None]
-        c6j, rrj = table[zj, 0], table[zj, 1]
+        # gather per-atom float rows, not atom types: ring-safe AND one fewer
+        # table lookup per edge
+        c6j = ell_gather(table[zi, 0], nbl.idx)  # (N, K)
+        rrj = ell_gather(table[zi, 1], nbl.idx)
         c6 = jnp.sqrt(c6i * c6j)
         rr = rri + rrj
         f_damp = 1.0 / (1.0 + jnp.exp(-self.d * (r_ij / rr - 1.0)))

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from torchmdnet_tpu.constants import BOHR_RADIUS_M, COULOMB_CONSTANT_JM
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
-from torchmdnet_tpu.ops.neighbors import edge_geometry, neighbor_list
+from torchmdnet_tpu.ops.neighbors import edge_geometry, ell_gather, neighbor_list
 from torchmdnet_tpu.priors.base import BasePrior, molecular_pair_energy_sum
 
 
@@ -48,7 +48,9 @@ class ZBL(BasePrior):
         _, dist = edge_geometry(pos, nbl)
         zmap = jnp.asarray(self.atomic_number, dtype=pos.dtype)
         zi = zmap[z][:, None]  # (N, 1)
-        zj = zmap[z][nbl.idx]  # (N, K)
+        # ell_gather (not direct indexing): under ring edge-partitioning the
+        # idx holds GLOBAL atom ids while zmap[z] is this shard's rows
+        zj = ell_gather(zmap[z], nbl.idx)  # (N, K)
         a = 0.8854 * BOHR_RADIUS_M / (zi**0.23 + zj**0.23)
         dist_safe = jnp.where(nbl.mask, dist, 1.0)
         d = dist_safe * self.distance_scale / a

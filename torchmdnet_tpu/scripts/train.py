@@ -125,6 +125,8 @@ def get_args(argv=None):
     parser.add_argument('--bf16-messages', type=str2bool, default=False, help='Quantize message-passing gathers/products to bfloat16 with float32 accumulation (TPU HBM-traffic optimization; ~1.5x on TensorNet at protein sizes)')
     parser.add_argument('--fused-attention', type=str2bool, default=False, help='Route the equivariant-transformer edge phase through the fused Pallas kernel (requires bf16-messages; the trainer builds the gather plan and spatially sorts batches). Works for energy AND force losses: force training runs the fused kernels for the inner force pass and a composable second-order rule for the outer pass')
     parser.add_argument('--fused-message', type=str2bool, default=False, help='Route the tensornet message phase (edge MLP + gather + weighted reduce) through the fused Pallas kernel (same requirements/behavior as --fused-attention)')
+    parser.add_argument('--edge-partition', type=str2bool, default=False, help='Shard each batch\'s ATOM rows over the device mesh (ring schedule, O(N/D) per-device memory) instead of data parallelism over molecules — for batches of one huge molecule that exceed one chip\'s HBM. Energy and force losses both work; pair priors run ring-partitioned too')
+    parser.add_argument('--edge-boundary-limit', type=int, default=65536, help='Upper limit on the ring boundary capacity sized from the first batch (edge-partition mode)')
     parser.add_argument('--plan-block-rows', type=int, default=32, help='Receiver rows per block of the fused-kernel gather plan (reduced automatically until it divides the padded atom count)')
     parser.add_argument('--plan-width', type=int, default=512, help='Unique-source capacity per gather-plan block (multiple of 128). Must cover the densest block; overflow fails loudly via the per-batch capacity surveillance')
     parser.add_argument('--steps-per-dispatch', type=int, default=8, help='Optimizer steps fused into one device dispatch (lax.scan over stacked batches). Amortizes per-dispatch host overhead; numerics unchanged. Set 1 to dispatch each step individually.')
@@ -202,7 +204,10 @@ def main(argv=None):
         with open(os.path.join(args.log_dir, "hparams.yaml"), "w") as f:
             yaml.safe_dump({k: v for k, v in hparams.items() if k != "conf"}, f)
 
-    mesh = make_mesh(hparams.get("ndevices", -1))
+    mesh = make_mesh(
+        hparams.get("ndevices", -1),
+        allow_single=bool(hparams.get("edge_partition")),
+    )
     trainer = Trainer(model, hparams, mesh=mesh)
     state = trainer.fit(data, ckpt_path=hparams.get("load_model"))
 

@@ -87,6 +87,27 @@ class Trainer:
         self._fused = bool(
             self.h.get("fused_attention") or self.h.get("fused_message")
         )
+        # --edge-partition: train with the batch's ATOM rows sharded over the
+        # mesh (ring schedule, O(N/D) per-device memory) instead of data
+        # parallelism over molecules.  The executor is sized from the first
+        # batch at fit() setup (parallel/edge_partition.sized_ring_executor).
+        self._edge_partition = bool(self.h.get("edge_partition"))
+        self._ring = None
+        if self._edge_partition:
+            if mesh is None:
+                raise ValueError(
+                    "--edge-partition requires a device mesh; pass --ndevices"
+                )
+            if self._fused:
+                raise ValueError(
+                    "--edge-partition and the fused kernels do not compose "
+                    "yet; run one or the other"
+                )
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "--edge-partition currently runs single-process (one "
+                    "host's mesh); multi-host ring training is future work"
+                )
 
         clip = self.h.get("gradient_clipping", 0.0) or 0.0
         tx = [optax.clip_by_global_norm(clip)] if clip > 0 else []
@@ -119,14 +140,18 @@ class Trainer:
             )
 
     def _prepare_batch(self, batch):
-        if self._fused:
-            # the gather plan needs spatially coherent atom order
-            # (ops/pallas/onehot_gather.py); sorting permutes every per-atom
-            # leaf incl. neg_dy labels, and atom order is semantically
-            # irrelevant to the models
+        if self._fused or self._edge_partition:
+            # the gather plan / ring boundary plan need spatially coherent
+            # atom order (onehot_gather.py / edge_partition.py); sorting
+            # permutes every per-atom leaf incl. neg_dy labels, and atom
+            # order is semantically irrelevant to the models
             from torchmdnet_tpu.data.batch import spatial_sort
 
             batch, _ = spatial_sort(batch, cell=self.h.get("cutoff_upper", 5.0))
+        if self._ring is not None:
+            from torchmdnet_tpu.parallel.edge_partition import shard_batch_by_atoms
+
+            return shard_batch_by_atoms(batch, self.mesh)
         return self._shard_batch(batch)
 
     def _shard_batch(self, batch):
@@ -181,9 +206,15 @@ class Trainer:
         over = jnp.any(jnp.stack([jnp.asarray(f) for f in flags]))
         return nbl, over.astype(jnp.float32)
 
-    def _forward_losses(self, params, batch, nbl=None):
+    def _forward_losses(self, params, batch, nbl=None, ring_ctx=None):
         derivative = self.h.get("derivative", False)
-        if derivative:
+        if ring_ctx is not None:
+            if derivative:
+                y, neg_dy = self._ring.energy_and_forces(params, batch, ring_ctx)
+            else:
+                y = self._ring.energy(params, batch, ring_ctx)
+                neg_dy = None
+        elif derivative:
             y, neg_dy = self.model.energy_and_forces(params, batch, nbl=nbl)
         else:
             y = self.model.energy(params, batch, nbl=nbl)
@@ -211,10 +242,15 @@ class Trainer:
         h = self.h
         alpha_y = h.get("ema_alpha_y", 1.0)
         alpha_f = h.get("ema_alpha_neg_dy", 1.0)
-        nbl, over = self._build_nbl(batch)
+        if self._ring is not None:
+            ctx = self._ring.build(batch)
+            nbl, over = None, ctx.overflow.astype(jnp.float32)
+        else:
+            ctx = None
+            nbl, over = self._build_nbl(batch)
 
         def loss_fn(p):
-            preds = self._forward_losses(p, batch, nbl)
+            preds = self._forward_losses(p, batch, nbl, ring_ctx=ctx)
             loss_y = raw_y = jnp.asarray(0.0)
             loss_f = raw_f = jnp.asarray(0.0)
             if "y" in preds:
@@ -268,8 +304,13 @@ class Trainer:
         return params, opt_state, acc, ema_y, ema_f
 
     def _eval_step_impl(self, params, batch):
-        nbl, over = self._build_nbl(batch)
-        preds = self._forward_losses(params, batch, nbl)
+        if self._ring is not None:
+            ctx = self._ring.build(batch)
+            nbl, over = None, ctx.overflow.astype(jnp.float32)
+        else:
+            ctx = None
+            nbl, over = self._build_nbl(batch)
+        preds = self._forward_losses(params, batch, nbl, ring_ctx=ctx)
         out = {"overflow": over}
         if "y" in preds:
             out["y_l1"] = masked_l1(*preds["y"])
@@ -341,6 +382,18 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
 
         batch0 = next(iter(train_loader))
+        if self._edge_partition:
+            # size the ring boundary capacities once from batch 0 (one host
+            # fetch at setup); later denser batches are covered by the
+            # accumulated RingContext.overflow surveillance
+            from torchmdnet_tpu.data.batch import spatial_sort
+            from torchmdnet_tpu.parallel.edge_partition import sized_ring_executor
+
+            b0, _ = spatial_sort(batch0, cell=h.get("cutoff_upper", 5.0))
+            self._ring = sized_ring_executor(
+                self.model, b0, self.mesh,
+                boundary_limit=int(h.get("edge_boundary_limit", 65536) or 65536),
+            )
         # loud config checks (reference Distance assert): a too-small
         # max_num_neighbors silently truncates neighbor lists otherwise —
         # for the model's list AND for every prior-internal list (ZBL/D2/
