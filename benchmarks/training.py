@@ -30,32 +30,59 @@ def main():
     ap.add_argument("--num-atoms", type=int, default=18)
     ap.add_argument("--forces", action="store_true", help="train on forces too")
     ap.add_argument("--bf16-messages", action="store_true")
+    ap.add_argument("--fused-attention", action="store_true",
+                    help="fused Pallas edge kernels (ET/tensornet; the trainer builds the gather plan; implies --bf16-messages)")
+    ap.add_argument("--plan-width", type=int, default=640)
+    ap.add_argument("--plan-rows", type=int, default=32)
+    ap.add_argument("--system", default=None,
+                    help="benchmark system name (e.g. dhfr): one big molecule per batch instead of batch-size small ones")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
     ap.add_argument("--trace", action="store_true", help="capture a device trace of a few dispatches and print the top fusions")
     args = ap.parse_args()
 
+    if args.fused_attention:
+        args.bf16_messages = True
+
     import jax
     import numpy as np
 
-    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
     from torchmdnet_tpu.models.potential import create_model
     from torchmdnet_tpu.train.trainer import Trainer
 
     rng = np.random.default_rng(0)
-    mols = []
-    for _ in range(args.batch_size):
-        n = args.num_atoms
+    if args.system:
+        from benchmarks.systems import get_system
+
+        z, pos, src = get_system(args.system)
+        print(f"# system source: {src}")
         mol = {
-            "z": rng.integers(1, 9, n).astype(np.int64),
-            "pos": (rng.standard_normal((n, 3)) * 1.8).astype(np.float32),
+            "z": z.astype(np.int64), "pos": pos.astype(np.float32),
             "y": rng.standard_normal((1, 1)).astype(np.float32),
         }
         if args.forces:
-            mol["neg_dy"] = rng.standard_normal((n, 3)).astype(np.float32)
-        mols.append(mol)
-    total = (args.batch_size * args.num_atoms + 7) // 8 * 8
+            mol["neg_dy"] = rng.standard_normal(pos.shape).astype(np.float32)
+        args.batch_size = 1
+        args.num_atoms = len(z)
+        mols = [mol]
+        total = (len(z) + 31) // 32 * 32
+    else:
+        mols = []
+        for _ in range(args.batch_size):
+            n = args.num_atoms
+            mol = {
+                "z": rng.integers(1, 9, n).astype(np.int64),
+                "pos": (rng.standard_normal((n, 3)) * 1.8).astype(np.float32),
+                "y": rng.standard_normal((1, 1)).astype(np.float32),
+            }
+            if args.forces:
+                mol["neg_dy"] = rng.standard_normal((n, 3)).astype(np.float32)
+            mols.append(mol)
+        total = (args.batch_size * args.num_atoms + 7) // 8 * 8
     batch = pad_molecules(mols, num_atoms=total, num_mol=args.batch_size)
+    if args.fused_attention:
+        batch, _ = spatial_sort(batch)
 
     h = dict(
         model=args.model,
@@ -84,6 +111,10 @@ def main():
         ema_alpha_neg_dy=1.0,
         y_weight=1.0,
         neg_dy_weight=1.0 if args.forces else 0.0,
+        fused_attention=args.fused_attention and args.model == "equivariant-transformer",
+        fused_message=args.fused_attention and args.model == "tensornet",
+        plan_width=args.plan_width,
+        plan_block_rows=args.plan_rows,
     )
     import jax.numpy as jnp
 
@@ -92,7 +123,7 @@ def main():
     trainer = Trainer(model, h)
     params = model.init(jax.random.PRNGKey(0), batch)
     opt_state = trainer.optimizer.init(params)
-    acc = jnp.zeros(3)
+    acc = jnp.zeros(4)
     ema_y = ema_f = jnp.zeros(())
 
     spd = args.steps_per_dispatch
@@ -134,7 +165,7 @@ def main():
     print(
         f"{args.model} H={args.embedding_dimension} L={args.num_layers} "
         f"batch={args.batch_size}x{args.num_atoms} forces={args.forces} "
-        f"bf16={args.bf16_messages} spd={spd}: "
+        f"bf16={args.bf16_messages} fused={args.fused_attention} spd={spd}: "
         f"{ms:.1f} ms/step = {mols_s:.0f} molecules/s"
     )
 

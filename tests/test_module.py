@@ -419,6 +419,10 @@ def test_bucketed_training_runs(tmp_path):
     h = _hparams(
         tmp_path, steps_per_dispatch=2, num_epochs=2, loader_buckets=3,
         train_size=24, val_size=8, test_size=8, batch_size=4,
+        # 12-atom gaussian-packed molecules have up to 11 in-cutoff
+        # neighbors; the per-batch capacity surveillance now catches the
+        # truncation the old batch-0-only check missed
+        max_num_neighbors=12,
     )
     ds = VarSizeDataset(num_samples=40, num_atoms=12, seed=7)
     data = DataModule(h, dataset=ds)
