@@ -21,9 +21,15 @@ scalar, and differences two values of K to cancel dispatch+fetch overhead.
 This measures pure steady-state device time per iteration — the same thing
 CUDA events measure for the reference.
 
-Prints ONE JSON line:
+Prints the headline JSON line first:
   {"metric": "gn_forward_dhfr2489_ms", "value": <ms>, "unit": "ms/it",
    "vs_baseline": <ref_ms / our_ms>}
+then additional JSON lines for the flagship fused-kernel force evaluations
+(ET and TensorNet, bf16 messages + fused Pallas edge kernels) so the driver
+records them every round.  The reference publishes no ET/TensorNet DHFR
+numbers, so those lines quote the reference's GN DHFR force number as
+"vs_baseline" with an explicit note (a HARDER model beating the reference's
+easiest one).
 """
 
 import json
@@ -129,8 +135,76 @@ def main():
                 "vs_baseline": round(REF_MS / elapsed_ms, 3),
                 "system": f"dhfr-{_source}",
             }
-        )
+        ),
+        flush=True,
     )
+
+    # flagship fused-kernel force evaluations (energy + forces per iteration,
+    # the MD-step compute): ET and TensorNet with bf16 messages + the fused
+    # Pallas edge kernels over a block gather plan.  K=80/64 FULL graphs —
+    # more work than the reference's truncated K=32 runs.
+    REF_GN_FORCES_MS = 34.2  # reference GN DHFR fwd+bwd (BASELINE.md); no
+    # ET/TensorNet DHFR numbers are published, so these lines compare a
+    # HARDER model here against the reference's cheapest model there.
+    for metric, model_name, rows, width in (
+        ("et_fused_forces_dhfr2489_ms", "equivariant-transformer", 16, 384),
+        ("tensornet_fused_forces_dhfr2489_ms", "tensornet", 16, 384),
+    ):
+        try:
+            ms = fused_forces_ms(model_name, z, pos, rows, width)
+        except Exception as e:  # never let an extra line break the headline
+            print(json.dumps({"metric": metric, "error": str(e)[:200]}), flush=True)
+            continue
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(ms, 3),
+                    "unit": "ms/it",
+                    "vs_baseline": round(REF_GN_FORCES_MS / ms, 3),
+                    "note": "vs reference GN DHFR forces 34.2 ms (no "
+                    "ET/TensorNet baseline published); fused Pallas edge "
+                    "kernels, bf16 messages, full neighbor graph",
+                    "system": f"dhfr-{_source}",
+                }
+            ),
+            flush=True,
+        )
+
+
+def fused_forces_ms(model_name, z, pos, plan_rows, plan_width):
+    """Scan-differenced fused force evaluation (benchmarks/exp_et_plan.py
+    methodology) on the padded, spatially sorted DHFR system."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.inference import model_args
+    from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
+    from torchmdnet_tpu.models.potential import create_model
+    from torchmdnet_tpu.profiling import device_ms_per_iter
+
+    npad = (len(z) + 31) // 32 * 32
+    batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
+    batch, _ = spatial_sort(batch)
+    args = model_args(model_name)
+    args["bf16_messages"] = True
+    args["fused_attention"] = True
+    args["fused_message"] = True
+    model = create_model(args)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    nbl = model.neighbors(
+        batch, strategy="brute", gather_plan=True, plan_width=plan_width,
+        plan_block_rows=plan_rows,
+        plan_inv_capacity=16 * max(1, 32 // plan_rows),
+    )
+    nbl.raise_on_overflow("bench.py fused line")
+
+    def step(carry, eps):
+        p, acc = carry
+        y, neg_dy = model.energy_and_forces(params, batch.replace(pos=p), nbl=nbl)
+        return (p + eps * neg_dy, acc + y.sum())
+
+    return device_ms_per_iter(step, (batch.pos, jnp.float32(0.0)))
 
 
 if __name__ == "__main__":

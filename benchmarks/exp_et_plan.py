@@ -25,7 +25,7 @@ from torchmdnet_tpu.profiling import device_ms_per_iter
 
 
 def bench(name, n_atoms, bf16, plan, k_hi=12, plan_width=512, fused=False,
-          plan_rows=32):
+          plan_rows=32, cell_capacity=0, strategy="auto"):
     z, pos, src = get_system_by_count(n_atoms)
     npad = max(32, (n_atoms + 31) // 32 * 32)
     batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=npad, num_mol=1)
@@ -36,11 +36,13 @@ def bench(name, n_atoms, bf16, plan, k_hi=12, plan_width=512, fused=False,
     args["fused_message"] = fused
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
+    cell_kwargs = {"cell_capacity": cell_capacity} if cell_capacity else {}
     nbl = model.neighbors(
-        batch, gather_plan=plan, plan_width=plan_width,
+        batch, strategy=strategy, gather_plan=plan, plan_width=plan_width,
         plan_block_rows=plan_rows,
         # smaller receiver blocks spread each source over more blocks
         plan_inv_capacity=16 * max(1, 32 // plan_rows),
+        **cell_kwargs,
     )
     nbl.raise_on_overflow("bench")
 
@@ -67,6 +69,8 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--plan-width", type=int, default=512)
     ap.add_argument("--plan-rows", type=int, default=32)
+    ap.add_argument("--cell-capacity", type=int, default=0, help="0 = strategy default")
+    ap.add_argument("--strategy", default="auto")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--modes", default=None,
                     help="comma list from {base,plan,fused}; overrides defaults")
@@ -88,6 +92,7 @@ def main():
             ms_f, ms_fb, src = bench(
                 args.model, n, bf16, plan, plan_width=args.plan_width,
                 fused=fused, plan_rows=args.plan_rows,
+                cell_capacity=args.cell_capacity, strategy=args.strategy,
             )
             print(
                 f"| {s} ({src}) | {n} | {label} | {ms_f:.2f} | {ms_fb:.2f} |",

@@ -258,10 +258,11 @@ def test_ring_64k_memory_is_o_n_over_d(model_name):
     comp_s = single.lower(params, batch).compile()
     temp_single = comp_s.memory_analysis().temp_size_in_bytes
     # constant factor vs the single-device footprint: ET is ~1/8 at D=8;
-    # TensorNet's wide (Nl, K, 9H) ring residuals keep a ~2.7x constant
-    # (PERF.md "ring edge partitioning") — the SCALING (halving above) is
-    # what unlocks beyond-HBM systems either way
-    factor = 6 if model_name == "equivariant-transformer" else 2.5
+    # TensorNet sat at ~2.7x until r3 found (via the buffer assignment) that
+    # the backward of its nine strided cat_j slices kept nine (Nl, K, 9H)
+    # pad-accumulation buffers live at the peak; slicing via jnp.split
+    # (backward = one concatenate) cut the ring footprint 2.4x (PERF.md)
+    factor = 6 if model_name == "equivariant-transformer" else 5
     assert temp8 < temp_single / factor, (temp8, temp_single)
 
     y8, f8 = comp8(params, sharded8)

@@ -374,7 +374,10 @@ class Interaction(nn.Module):
                 h=h,
                 act=self.activation,
                 interpret=fused_mode == "interpret",
-                kc=8,
+                # R*kc ~ 128 rows per MXU call (as in the ET kernel): small
+                # receiver blocks (needed to fit the bwd kernel in scoped
+                # VMEM at protein K) would otherwise leave the matmuls skinny
+                kc=max(2, 128 // nbl.gather_plan.block_rows),
             )
             cutm = (c * nbl.mask).astype(jnp.float32)
             m = fused_tn_messages(
@@ -393,14 +396,16 @@ class Interaction(nn.Module):
         else:
             cat_j = ell_gather(cat.astype(mp_dtype), nbl.idx, nbl.gather_plan)  # (N, K, 9H)
             w_i, w_a, w_s = jnp.split(w.astype(mp_dtype), 3, axis=-1)
-            # per-block multiply+reduce (slices are views; the products fuse
-            # into the K reduction) — a concatenated 9H-wide multiplier would
-            # materialize an extra ~(N, K, 9H) tensor
+            # jnp.split — NOT nine strided slices: a strided slice's backward
+            # pads its cotangent back to the full 9H width, and the nine
+            # pad+add steps keep up to nine (N, K, 9H) buffers live at the
+            # peak of the force backward (measured: 9x24 MB at an 8k-atom
+            # ring shard, the dominant term of the ring per-device footprint;
+            # PERF.md).  split's backward is ONE concatenate.
             wb = (w_i, w_a, w_a, w_a, w_s, w_s, w_s, w_s, w_s)
+            cat_parts = jnp.split(cat_j, 9, axis=-1)
             m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
-                (cat_j[:, :, i * h : (i + 1) * h] * wb[i]).sum(
-                    axis=1, dtype=acc_dtype
-                )
+                (cat_parts[i] * wb[i]).sum(axis=1, dtype=acc_dtype)
                 for i in range(9)
             )
         msg = t9_from_irreps(
@@ -484,7 +489,12 @@ class TensorNet(nn.Module):
         neg_inv = -(jnp.where(dist > 0, 1.0, 0.0) / jnp.where(dist > 0, dist, 1.0))
         edge_dir = tuple(comp * neg_inv for comp in delta)
 
-        x = TensorEmbedding(
+        # remat covers the embedding too: its ~10 (N, K, H) edge
+        # intermediates (zij gate, gw products) are the largest residual
+        # block of a shallow TensorNet — rematerializing them is what cuts
+        # the ring edge-partitioned per-device footprint (PERF.md)
+        emb_cls = nn.remat(TensorEmbedding) if self.remat else TensorEmbedding
+        x = emb_cls(
             self.hidden_channels,
             self.num_rbf,
             self.activation,
@@ -492,6 +502,7 @@ class TensorNet(nn.Module):
             self.cutoff_upper,
             self.max_z,
             dtype=self.dtype,
+            name="TensorEmbedding_0",
         )(z, nbl, dist, edge_dir, edge_attr)
 
         layer_cls = nn.remat(Interaction) if self.remat else Interaction
