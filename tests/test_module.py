@@ -433,3 +433,28 @@ def test_bucketed_training_runs(tmp_path):
     assert state.global_step == 12  # 24 train / bs 4 / 2 epochs
     metrics = trainer.test(data)
     assert np.isfinite(metrics["test_total_l1_loss"])
+
+
+def test_auto_neighbor_strategy_batched_small_molecules():
+    """Batched small molecules overlap in space (each sample near its own
+    origin), so per-cell occupancy scales with batch size and the cell list
+    degenerates; Potential.neighbors' auto strategy must pick brute there
+    even above the cell-list atom-count threshold."""
+    from torchmdnet_tpu.data.batch import pad_molecules
+
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(32):
+        n = 70
+        mols.append(
+            {
+                "z": rng.integers(1, 9, n).astype(np.int64),
+                "pos": (rng.standard_normal((n, 3)) * 2.0).astype(np.float32),
+            }
+        )
+    batch = pad_molecules(mols, num_atoms=32 * 70, num_mol=32)
+    h = _hparams("/tmp", max_num_neighbors=72)
+    model = create_model(h)
+    nbl = model.neighbors(batch)  # auto; would overflow cell buckets
+    nbl.raise_on_overflow("auto strategy on a batched-small-molecule batch")
+    assert nbl.cell_overflow is None  # brute was chosen

@@ -181,6 +181,15 @@ class Potential:
         a = self.args
         loop = a["model"] != "graph-network"
         cutoff_upper = a.get("cutoff_upper", 5.0)
+        if strategy == "auto" and batch.num_mol > 1:
+            mean_mol_atoms = batch.num_atoms / batch.num_mol
+            if mean_mol_atoms < 512:
+                # Batched SMALL molecules overlap in space (each sample sits
+                # near its own origin), so per-cell occupancy scales with the
+                # batch size and the cell list degenerates; the brute
+                # strategy's (N, N) masked search is also what the batch
+                # mask wants.  Cell stays for single/large systems.
+                strategy = "brute"
         if k is None:
             k = a["max_num_neighbors"]
             if skin > 0.0:
