@@ -146,12 +146,15 @@ def main():
     REF_GN_FORCES_MS = 34.2  # reference GN DHFR fwd+bwd (BASELINE.md); no
     # ET/TensorNet DHFR numbers are published, so these lines compare a
     # HARDER model here against the reference's cheapest model there.
-    for metric, model_name, rows, width in (
-        ("et_fused_forces_dhfr2489_ms", "equivariant-transformer", 16, 384),
-        ("tensornet_fused_forces_dhfr2489_ms", "tensornet", 16, 384),
+    for metric, model_name, rows, width, fused in (
+        # ET: fused kernels are the best force config (42.7 ms vs 78.6
+        # composable); TensorNet: gather-plan routing is (its fused kernel
+        # wins forward-only; PERF.md r3 table)
+        ("et_fused_forces_dhfr2489_ms", "equivariant-transformer", 16, 384, True),
+        ("tensornet_forces_dhfr2489_ms", "tensornet", 32, 512, False),
     ):
         try:
-            ms = fused_forces_ms(model_name, z, pos, rows, width)
+            ms = fused_forces_ms(model_name, z, pos, rows, width, fused)
         except Exception as e:  # never let an extra line break the headline
             print(json.dumps({"metric": metric, "error": str(e)[:200]}), flush=True)
             continue
@@ -163,8 +166,8 @@ def main():
                     "unit": "ms/it",
                     "vs_baseline": round(REF_GN_FORCES_MS / ms, 3),
                     "note": "vs reference GN DHFR forces 34.2 ms (no "
-                    "ET/TensorNet baseline published); fused Pallas edge "
-                    "kernels, bf16 messages, full neighbor graph",
+                    "ET/TensorNet baseline published); bf16 messages, "
+                    "gather-plan routing, full neighbor graph",
                     "system": f"dhfr-{_source}",
                 }
             ),
@@ -172,9 +175,10 @@ def main():
         )
 
 
-def fused_forces_ms(model_name, z, pos, plan_rows, plan_width):
-    """Scan-differenced fused force evaluation (benchmarks/exp_et_plan.py
-    methodology) on the padded, spatially sorted DHFR system."""
+def fused_forces_ms(model_name, z, pos, plan_rows, plan_width, fused=True):
+    """Scan-differenced force evaluation (benchmarks/exp_et_plan.py
+    methodology) on the padded, spatially sorted DHFR system; ``fused``
+    selects the fused Pallas kernels vs plan-composable routing."""
     import jax
     import jax.numpy as jnp
 
@@ -188,8 +192,8 @@ def fused_forces_ms(model_name, z, pos, plan_rows, plan_width):
     batch, _ = spatial_sort(batch)
     args = model_args(model_name)
     args["bf16_messages"] = True
-    args["fused_attention"] = True
-    args["fused_message"] = True
+    args["fused_attention"] = fused
+    args["fused_message"] = fused
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
     nbl = model.neighbors(
