@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--timestep-fs", type=float, default=1.0)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cell-capacity", type=int, default=48)
+    ap.add_argument("--max-cells", type=int, default=0, help="0 = strategy default (N//8; smaller-cutoff models on sparse boxes need more)")
     ap.add_argument("--k", type=int, default=80, help="max_num_neighbors")
     ap.add_argument("--gather-plan", action="store_true",
                     help="spatial-sort atoms and route gathers via the one-hot MXU plan")
@@ -83,6 +84,7 @@ def main():
         neighbor_skin=args.skin,
         rebuild_every=args.rebuild_every,
         neighbor_kwargs={
+            **({"max_cells": args.max_cells} if args.max_cells else {}),
             "cell_capacity": args.cell_capacity,
             "gather_plan": args.gather_plan,
             "plan_width": args.plan_width,

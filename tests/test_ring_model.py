@@ -121,6 +121,40 @@ def test_ring_pair_priors_match_single_device():
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=1e-4, atol=1e-6)
 
 
+def test_ring_coulomb_prior_matches_single_device():
+    """Coulomb (erf-damped, partial charges from extra) under ring
+    partitioning — covers the extra-args path and the unbounded-cutoff
+    internal list (every same-molecule pair is a 'neighbor')."""
+    from torchmdnet_tpu.priors.coulomb import Coulomb
+
+    args = load_example_args(
+        "graph-network", num_layers=1, embedding_dimension=16, num_rbf=8,
+        derivative=True, max_num_neighbors=32,
+    )
+    model = create_model(
+        args,
+        prior_models=[
+            Coulomb(
+                alpha=1.0, max_num_neighbors=32,
+                distance_scale=1e-10, energy_scale=1.60218e-19,
+            )
+        ],
+    )
+    mol = random_molecule(29, seed=4, scale=3.0)
+    rng = np.random.default_rng(7)
+    mol["partial_charges"] = rng.uniform(-0.5, 0.5, 29).astype(np.float32)
+    batch = pad_molecules(
+        [mol], num_atoms=32, num_mol=1, extra_atom_keys=("partial_charges",)
+    )
+    batch, _ = spatial_sort(batch)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    y_ref, f_ref = model.energy_and_forces(params, batch)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    y, f = ring_apply(model, params, batch, mesh, boundary_capacity=2048)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=1e-4, atol=1e-6)
+
+
 def test_ring_boundary_overflow_raises():
     model, params, batch = _medium_setup("graph-network")
     mesh = Mesh(np.array(jax.devices()), ("dp",))
