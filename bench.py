@@ -147,11 +147,11 @@ def main():
     # ET/TensorNet DHFR numbers are published, so these lines compare a
     # HARDER model here against the reference's cheapest model there.
     for metric, model_name, rows, width, fused in (
-        # ET: fused kernels are the best force config (42.7 ms vs 78.6
-        # composable); TensorNet: gather-plan routing is (its fused kernel
-        # wins forward-only; PERF.md r3 table)
+        # both flagship models' best force configs are the fused Pallas
+        # kernels (PERF.md r3 tables: ET 78.6 -> 42.7 composable->fused,
+        # TensorNet 37.3 -> 23.0 after the K-chunked backward)
         ("et_fused_forces_dhfr2489_ms", "equivariant-transformer", 16, 384, True),
-        ("tensornet_forces_dhfr2489_ms", "tensornet", 32, 512, False),
+        ("tensornet_forces_dhfr2489_ms", "tensornet", 16, 384, True),
     ):
         try:
             ms = fused_forces_ms(model_name, z, pos, rows, width, fused)

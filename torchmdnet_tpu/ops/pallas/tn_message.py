@@ -106,21 +106,40 @@ def _bwd_kernel(
     dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
     *, w, kc, h, act,
 ):
-    r, k = local_ref.shape
-    rk, rbf = ea_ref.shape
+    """Fully K-chunked backward: each chunk recomputes ITS OWN slice of the
+    edge MLP and backprops it immediately, so no full-(R*K) activation or
+    cotangent lives across the loop — the scoped-VMEM footprint is
+    O(R*kc)-sized chunk temporaries plus the (W, 9H) source table/cotangent
+    and the tiny weight-grad accumulators.  The earlier whole-block variant
+    held six (R*K, 1..3H) MLP activations plus the concatenated filter
+    cotangent and blew the 16 MB limit at STMV-scale K (~113) even at R=8;
+    chunking is what lets single-chip TensorNet STMV forces compile at all.
+
+    ``ea``/``dea`` ride as 3D (R, K, RBF128) refs here (unlike the forward
+    kernel's 2D layout), with RBF zero-padded to a 128-lane multiple by the
+    caller: Mosaic rejects leading-dim collapses on sub-128 lane dims
+    ("unsupported shape cast"), and the padding costs ~4x on the smallest
+    operand of the phase (negligible HBM share) while every chunk reshape
+    becomes legal.
+    """
+    r, k, rbf = ea_ref.shape
     xw = xw_ref[0]
     bf = xw.dtype
-    ea2 = ea_ref[...]
-    # recompute the edge MLP (pre-activations needed for its backward)
-    p1, t1, p2, t2, p3, t3 = _mlp_fwd(
-        act, ea2, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, bf
-    )
-    wm3 = t3.reshape(r, k, 3 * h)
     ct3 = ct_ref[...][:, None, :]  # (R, 1, 9H) f32
     dxw_acc = jnp.zeros((w, 9 * h), jnp.float32)
-    d_wm_chunks = []
+    dw1_acc = jnp.zeros((rbf, h), jnp.float32)
+    db1_acc = jnp.zeros((1, h), jnp.float32)
+    dw2_acc = jnp.zeros((h, 2 * h), jnp.float32)
+    db2_acc = jnp.zeros((1, 2 * h), jnp.float32)
+    dw3_acc = jnp.zeros((2 * h, 3 * h), jnp.float32)
+    db3_acc = jnp.zeros((1, 3 * h), jnp.float32)
     for c0, kn in _chunks(k, kc):
         rc = r * kn
+        ea2 = ea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf)
+        p1, t1, p2, t2, p3, t3 = _mlp_fwd(
+            act, ea2, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, bf
+        )
+        wmc = t3.reshape(r, kn, 3 * h)
         cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(jnp.float32)
         loc = local_ref[:, c0 : c0 + kn].astype(jnp.float32)[:, :, None]
         oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(bf)
@@ -129,7 +148,6 @@ def _bwd_kernel(
             .astype(bf).reshape(r, kn, 9 * h)
         )
         cutm3 = cutm_ref[:, c0 : c0 + kn][:, :, None].astype(bf)
-        wmc = wm3[:, c0 : c0 + kn, :]
         wb3 = _wb_cat(wmc, h) * cutm3
         ct3b = ct3.astype(bf)
         # d_g = ct * wb ; d_wb = ct * g
@@ -152,43 +170,49 @@ def _bwd_kernel(
             + d_wb3[:, :, 8 * h :]
         )
         d_wfull3 = jnp.concatenate([d_wI, d_wA, d_wS], axis=-1)  # (R, Kn, 3H)
-        # w_used = wm * cutm: split the product rule
-        d_wm_chunks.append(d_wfull3 * cutm3)
         dcutm_ref[:, c0 : c0 + kn] = (
             (d_wfull3 * wmc).astype(jnp.float32).sum(axis=-1)
         )
-    # ---- edge-MLP backward, whole block
-    d_t3 = jnp.concatenate(d_wm_chunks, axis=1).reshape(rk, 3 * h)
-    d_p3 = _dact_v(act, p3) * d_t3
-    d_t2 = jax.lax.dot_general(
-        d_p3, w3_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(bf)
-    dw3_ref[...] = jax.lax.dot_general(
-        t2, d_p3, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[None]
-    db3_ref[...] = d_p3.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
-    d_p2 = _dact_v(act, p2) * d_t2
-    d_t1 = jax.lax.dot_general(
-        d_p2, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(bf)
-    dw2_ref[...] = jax.lax.dot_general(
-        t1, d_p2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[None]
-    db2_ref[...] = d_p2.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
-    d_p1 = _dact_v(act, p1) * d_t1
-    dea_ref[...] = jax.lax.dot_general(
-        d_p1, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dea_ref.dtype)
-    dw1_ref[...] = jax.lax.dot_general(
-        ea2, d_p1, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[None]
-    db1_ref[...] = d_p1.astype(jnp.float32).sum(axis=0, keepdims=True)[None]
+        # ---- edge-MLP backward for THIS chunk (w_used = wm * cutm)
+        d_t3 = (d_wfull3 * cutm3).reshape(rc, 3 * h)
+        d_p3 = _dact_v(act, p3) * d_t3
+        d_t2 = jax.lax.dot_general(
+            d_p3, w3_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(bf)
+        dw3_acc = dw3_acc + jax.lax.dot_general(
+            t2, d_p3, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db3_acc = db3_acc + d_p3.astype(jnp.float32).sum(axis=0, keepdims=True)
+        d_p2 = _dact_v(act, p2) * d_t2
+        d_t1 = jax.lax.dot_general(
+            d_p2, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(bf)
+        dw2_acc = dw2_acc + jax.lax.dot_general(
+            t1, d_p2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db2_acc = db2_acc + d_p2.astype(jnp.float32).sum(axis=0, keepdims=True)
+        d_p1 = _dact_v(act, p1) * d_t1
+        dea_ref[:, c0 : c0 + kn, :] = (
+            jax.lax.dot_general(
+                d_p1, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dea_ref.dtype).reshape(r, kn, rbf)
+        )
+        dw1_acc = dw1_acc + jax.lax.dot_general(
+            ea2, d_p1, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_acc = db1_acc + d_p1.astype(jnp.float32).sum(axis=0, keepdims=True)
+    dw3_ref[...] = dw3_acc[None]
+    db3_ref[...] = db3_acc[None]
+    dw2_ref[...] = dw2_acc[None]
+    db2_ref[...] = db2_acc[None]
+    dw1_ref[...] = dw1_acc[None]
+    db1_ref[...] = db1_acc[None]
     dxw_ref[...] = dxw_acc.astype(dxw_ref.dtype)[None]
 
 
@@ -244,19 +268,37 @@ def _tn_bwd_op(cfg, plan, inputs, ct):
     cat, ea, cutm, w1, b1, w2, b2, w3, b3 = inputs
     n, k = plan.local.shape
     nb, w = plan.u.shape
-    rbf = ea.shape[-1]
+    rbf_true = ea.shape[-1]
+    rbf = -(-rbf_true // 128) * 128  # lane-pad for the kernel (see docstring)
+    if rbf != rbf_true:
+        ea = jnp.pad(ea, ((0, 0), (0, 0), (0, rbf - rbf_true)))
+        w1 = jnp.pad(w1, ((0, rbf - rbf_true), (0, 0)))
     h = cfg.h
     r = n // nb
     xw = cat[plan.u]
     kern = functools.partial(_bwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
     nk = lambda: pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        nk(),  # local
+        pl.BlockSpec((1, w, 9 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        # ea rides 3D (R, K, RBF): the kernel slices K-chunks and collapses
+        # leading dims only (sub-128 RBF lane dim untouched)
+        pl.BlockSpec((r, k, rbf), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        nk(),  # cutm
+        pl.BlockSpec((rbf, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 2 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * h, 3 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * h), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 9 * h), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    ]
     outs = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=_specs(r, k, rbf, w, h, 9 * h)
-        + [pl.BlockSpec((r, 9 * h), lambda b: (b, 0), memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((r * k, rbf), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k, rbf), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             nk(),
             pl.BlockSpec((1, w, 9 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rbf, h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -267,7 +309,7 @@ def _tn_bwd_op(cfg, plan, inputs, ct):
             pl.BlockSpec((1, 1, 3 * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n * k, rbf), ea.dtype),
+            jax.ShapeDtypeStruct((n, k, rbf), ea.dtype),
             jax.ShapeDtypeStruct((n, k), jnp.float32),  # dcutm
             jax.ShapeDtypeStruct((nb, w, 9 * h), cat.dtype),
             jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
@@ -279,14 +321,18 @@ def _tn_bwd_op(cfg, plan, inputs, ct):
         ],
         interpret=cfg.interpret,
     )(
-        plan.local, xw, ea.reshape(n * k, rbf), cutm,
+        plan.local, xw, ea, cutm,
         w1, b1, w2, b2, w3, b3, ct.astype(jnp.float32),
     )
     dea, dcutm, dxw, dw1, db1, dw2, db2, dw3, db3 = outs
-    d_cat = _inverse_scatter(dxw.astype(jnp.float32), plan).astype(cat.dtype)
+    dea = dea[:, :, :rbf_true]
+    dw1 = dw1[:, :rbf_true, :]
+    # NO whole-table f32 upcast: dxw is (NB, W, 9H) — 8.3 GB at STMV scale
+    # in f32; _inverse_scatter's K-sum accumulates in f32 on its own
+    d_cat = _inverse_scatter(dxw, plan).astype(cat.dtype)
     return (
         d_cat,
-        dea.reshape(ea.shape).astype(ea.dtype),
+        dea.astype(ea.dtype),
         dcutm.astype(cutm.dtype),
         dw1.sum(axis=0).astype(w1.dtype),
         db1.sum(axis=0).astype(b1.dtype),
