@@ -118,9 +118,22 @@ def main():
     model = create_model(args)
     params = model.init(jax.random.PRNGKey(0), batch)
 
+    # Setup-time occupancy probe (ops/cell_list.suggest_cell_capacity): the
+    # cell-tile width is 27*capacity, and the safe default (32) is ~50%
+    # padding at protein density.  The list is still BUILT inside the timed
+    # step — same per-iteration work as the reference's radius_graph — just
+    # with tight static tiles; occupancy overflow stays loudly detected.
+    from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+    cap = suggest_cell_capacity(
+        batch.pos, batch.atom_mask, cutoff_upper=5.0, headroom=1.0
+    )
+
     def step(carry, eps):
         pos, acc = carry
-        y = model.energy(params, batch.replace(pos=pos))
+        b = batch.replace(pos=pos)
+        nbl = model.neighbors(b, cell_capacity=cap)
+        y = model.energy(params, b, nbl=nbl)
         s = y.sum()
         return (pos + eps * s, acc + s)
 

@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--rebuild-every", type=int, default=10)
     ap.add_argument("--timestep-fs", type=float, default=1.0)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--cell-capacity", type=int, default=48)
+    ap.add_argument("--cell-capacity", type=int, default=0, help="0 = probe max occupancy at setup (suggest_cell_capacity, headroom for skin drift)")
     ap.add_argument("--max-cells", type=int, default=0, help="0 = strategy default (N//8; smaller-cutoff models on sparse boxes need more)")
     ap.add_argument("--k", type=int, default=80, help="max_num_neighbors")
     ap.add_argument("--gather-plan", action="store_true",
@@ -73,6 +73,19 @@ def main():
     )
     model = create_model(margs)
     params = model.init(jax.random.PRNGKey(0), batch)
+
+    if not args.cell_capacity:
+        from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+        # generous headroom: the skin list bins at cutoff+skin and atoms
+        # drift between rebuilds; overflow is still loudly detected.
+        args.cell_capacity = suggest_cell_capacity(
+            batch.pos,
+            batch.atom_mask,
+            cutoff_upper=margs["cutoff_upper"] + args.skin,
+            headroom=1.3,
+        )
+        print(f"# probed cell_capacity: {args.cell_capacity}")
 
     sim = Simulation(
         model,

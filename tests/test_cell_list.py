@@ -133,3 +133,49 @@ def test_pallas_compaction_matches_brute(loop):
     np.testing.assert_array_equal(np.asarray(b.idx), np.asarray(p.idx))
     np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(p.mask))
     np.testing.assert_array_equal(np.asarray(b.n_neighbors), np.asarray(p.n_neighbors))
+
+
+def test_select_topk_matches_lax_topk():
+    """Pallas min-extraction selection == XLA top_k, including all-invalid
+    rows, duplicate sentinels, and k > valid-count rows."""
+    from torchmdnet_tpu.ops.pallas.select_topk import select_topk
+
+    rng = np.random.default_rng(7)
+    n, w, k, sent = 300, 91, 17, 1000
+    keys = rng.integers(0, sent, size=(n, w)).astype(np.int32)
+    # make entries unique per row where valid (atom ids are unique); invalid
+    # slots all hold the sentinel
+    keys = np.sort(keys, axis=1)
+    keys[np.diff(keys, axis=1, prepend=-1) == 0] = sent
+    keys[5] = sent  # an all-invalid row
+    keys[6, 3:] = sent  # fewer than k valid entries
+    shuf = rng.permuted(keys, axis=1)
+
+    got = np.asarray(select_topk(jnp.asarray(shuf), k, sent))
+    neg_top, _ = jax.lax.top_k(-jnp.asarray(shuf), k)
+    want = np.asarray(-neg_top)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_suggest_cell_capacity_probe():
+    """The setup-time occupancy probe yields a capacity the build accepts
+    (no overflow) and that reproduces brute exactly."""
+    from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 18.0, size=(257, 3)).astype(np.float32)
+    cap = suggest_cell_capacity(pos, cutoff_upper=4.0, headroom=1.0)
+    nbl = neighbor_list_cell(
+        jnp.asarray(pos), k=32, cutoff_upper=4.0, cell_capacity=cap
+    )
+    assert not bool(nbl.cell_overflow)
+    ref = neighbor_list(
+        jnp.asarray(pos), k=32, cutoff_upper=4.0, strategy="brute"
+    )
+    np.testing.assert_array_equal(np.asarray(nbl.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(nbl.mask), np.asarray(ref.mask))
+    # a deliberately lower capacity must trip the loud overflow flag
+    nbl_low = neighbor_list_cell(
+        jnp.asarray(pos), k=32, cutoff_upper=4.0, cell_capacity=max(1, cap // 4)
+    )
+    assert bool(nbl_low.cell_overflow)

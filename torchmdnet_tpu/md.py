@@ -106,6 +106,28 @@ class Simulation:
         lo = model.args.get("cutoff_lower", 0.0)
         hi = model.args.get("cutoff_upper", 5.0)
 
+        # Setup-time cell-capacity probe: the cell-tile costs scale with
+        # 27*cell_capacity and the safe default (32) is ~50% padding at
+        # protein density.  Positions are concrete here, so size the static
+        # capacity from the observed max occupancy (headroom for drift
+        # between rebuilds; occupancy overflow stays loudly detected via
+        # MDState.stale / raise_on_overflow).
+        neighbor_kwargs = dict(neighbor_kwargs or {})
+        if (
+            "cell_capacity" not in neighbor_kwargs
+            and neighbor_strategy in ("auto", "cell")
+            and int(batch.num_atoms) >= 2048
+        ):
+            from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+            neighbor_kwargs["cell_capacity"] = suggest_cell_capacity(
+                batch.pos,
+                batch.atom_mask,
+                cutoff_upper=hi + self.skin,
+                box=box,
+                headroom=1.3,
+            )
+
         self.ring = None
         if edge_partition:
             if mesh is None:

@@ -22,10 +22,16 @@ cell-offsets -> 27-cell traversal).  Two implementations:
    the distance filter rejects).  Use when the system's extent exceeds
    ``max_dense_cells`` grid cells.
 
-Compaction is sort-based (top-k of candidate ids), deterministic and
+Compaction keeps the k smallest candidate ids per row — deterministic and
 identical to the brute strategy's (ascending neighbor index per atom); the
 CUDA reference used atomicAdd slot allocation and was order-nondeterministic
-(common.cuh:106-116).
+(common.cuh:106-116).  On TPU it runs as a Pallas min-extraction kernel
+(ops/pallas/select_topk.py) — k VPU passes on VMEM tiles, ~2x faster than
+the XLA bitonic sort at cell-tile widths.  Tile enumeration gathers whole
+CELLS as single wide rows (two-level row gather) and the distance filter
+runs per ATOM on (N, 27M) — no per-slot padding work; with a setup-time
+occupancy probe (``suggest_cell_capacity``) the DHFR build is 0.63 ms vs
+1.73 ms for the r2 formulation (PERF.md).
 
 PBC: rectangular boxes only (the reference cell strategy has the same
 restriction, neighbors_cuda_cell.cuh:14-28); positions are wrapped into the
@@ -54,14 +60,26 @@ def _hash_cells(cx, cy, cz, mol, num_buckets):
     return jnp.abs(h) & (num_buckets - 1)
 
 
-def _compact_topk(key, n, k, loop, atom_mask):
+def _compact_topk(key, n, k, loop, atom_mask, use_select_kernel=False):
     """Shared final compaction: per-row ascending top-k of candidate ids.
 
     key: (N, C) int32, candidate id where valid else n.
+
+    use_select_kernel routes through the Pallas min-extraction kernel
+    (ops/pallas/select_topk.py) — bitwise-identical, 2.2x faster than the
+    XLA sort at cell-tile widths and k<=64 (k=32: 0.19 vs 0.42 ms at DHFR
+    width 648); its k passes cross over the sort around k~80, so larger k
+    keeps the sort.  The cell strategy enables it (its width
+    27*cell_capacity is N-independent), brute (width N) keeps the sort.
     """
     k_eff = min(k, key.shape[1])
-    neg_top, _ = jax.lax.top_k(-key, k_eff)
-    idx = -neg_top
+    if use_select_kernel and k_eff <= 64:
+        from torchmdnet_tpu.ops.pallas.select_topk import select_topk
+
+        idx = select_topk(key, k_eff, n)
+    else:
+        neg_top, _ = jax.lax.top_k(-key, k_eff)
+        idx = -neg_top
     mask = idx < n
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, k_eff), 0)
     idx = jnp.where(mask, idx, rows)
@@ -177,9 +195,6 @@ def _neighbor_list_cell_tiles(
     tpos = jnp.where(ok, rank * m + slot, c_max * m)
     table = jnp.full((c_max * m + 1,), n, dtype=jnp.int32)
     table = table.at[tpos].set(order, mode="drop")
-    atom_tile_row = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(ok, rank * m + slot, c_max * m)
-    )
     table = table[: c_max * m].reshape(c_max, m)
 
     # per-cell coords + direct-mapped (grid cell -> rank) lookup table
@@ -236,42 +251,59 @@ def _neighbor_list_cell_tiles(
     packed = jnp.concatenate(
         [packed, jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype)], axis=0
     )
-    pj = packed[cand]  # (C, 27M, 5)   <- the big gather, amortized per cell
-    pi = packed[table]  # (C, M, 5)
 
-    # --- distance filter on the (C, M, 27M) tile -----------------------------
-    dx = pj[:, None, :, 0] - pi[:, :, None, 0]
-    dy = pj[:, None, :, 1] - pi[:, :, None, 1]
-    dz = pj[:, None, :, 2] - pi[:, :, None, 2]
+    # Tile enumeration is TWO LEVELS of whole-CELL rows (gathers are
+    # row-count-bound): packed_cells folds each cell's M atoms into one
+    # (M*5)-wide row via a (C, M)-row gather, and the 27-neighbor-cell
+    # expansion then gathers only (C, 27) such rows — ~M*27/28x fewer rows
+    # than gathering per candidate slot.
+    packed_cells = packed[table].reshape(c_max, m * 5)  # (C, M*5)
+    packed_cells = jnp.concatenate(
+        [
+            packed_cells,
+            jnp.tile(
+                jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype), (1, m)
+            ),
+        ],
+        axis=0,
+    )  # + pad row for nrank == c_max misses
+    pj = packed_cells[nrank].reshape(c_max, 27 * m, 5)  # (C, 27M, 5)
+
+    # --- broadcast tiles to atoms, filter per ATOM ---------------------------
+    # The filter used to run on the full (C, M, 27M) slot grid, but only N of
+    # the C*M slots hold real atoms (25-40% at default capacities) — the rest
+    # was wasted VPU/HBM work.  Instead each atom row-gathers its cell's tile
+    # (wide rows are byte-bound, ~45 MB total here, ~roofline) and the filter
+    # runs on exactly (N, 27M).
+    atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(ok, rank, c_max)
+    )
+    cand_p = jnp.concatenate([cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0)
+    pj_p = jnp.concatenate(
+        [pj, jnp.zeros((1, 27 * m, 5), f32pos.dtype)], axis=0
+    )
+    acand = cand_p[atom_rank]  # (N, 27M)
+    apj = pj_p[atom_rank]  # (N, 27M, 5)
+
+    dx = apj[..., 0] - f32pos[:, None, 0]
+    dy = apj[..., 1] - f32pos[:, None, 1]
+    dz = apj[..., 2] - f32pos[:, None, 2]
     if use_box:
         dx, dy, dz = _min_image_components(dx, dy, dz, box.astype(f32pos.dtype))
     d2 = dx * dx + dy * dy + dz * dz
     valid = (
-        (cand[:, None, :] < n)
-        & (pj[:, None, :, 4] > 0)
-        & (pj[:, None, :, 3] == pi[:, :, None, 3])
-        & (cand[:, None, :] != table[:, :, None])
-        & (pi[:, :, None, 4] > 0)
+        (acand < n)
+        & (apj[..., 4] > 0)
+        & (apj[..., 3] == batch.astype(f32pos.dtype)[:, None])
+        & (acand != iota_n[:, None])
+        & atom_mask[:, None]
         & (d2 < cutoff_upper * cutoff_upper)
         & (d2 >= cutoff_lower * cutoff_lower)
     )
-    n_nb_tile = jnp.sum(valid, axis=2).astype(jnp.int32)  # (C, M)
-    key_tile = jnp.where(valid, cand[:, None, :], n)  # (C, M, 27M)
+    n_neighbors = jnp.sum(valid, axis=1).astype(jnp.int32)
+    akeys = jnp.where(valid, acand, n)  # (N, 27M)
 
-    # --- back to per-atom rows, then top-k compaction ------------------------
-    key_rows = jnp.concatenate(
-        [
-            key_tile.reshape(c_max * m, 27 * m),
-            jnp.full((1, 27 * m), n, jnp.int32),
-        ],
-        axis=0,
-    )
-    akeys = key_rows[atom_tile_row]  # (N, 27M)
-    n_neighbors = jnp.concatenate(
-        [n_nb_tile.reshape(-1), jnp.zeros((1,), jnp.int32)]
-    )[atom_tile_row]
-
-    idx, mask = _compact_topk(akeys, n, k, loop, atom_mask)
+    idx, mask = _compact_topk(akeys, n, k, loop, atom_mask, use_select_kernel=True)
     return idx, mask, n_neighbors, overflow
 
 
@@ -394,8 +426,49 @@ def _neighbor_list_cell_hash(
     n_neighbors = jnp.sum(valid, axis=1).astype(jnp.int32)
 
     key = jnp.where(valid, cand, n)
-    idx, mask = _compact_topk(key, n, k, loop, atom_mask)
+    idx, mask = _compact_topk(key, n, k, loop, atom_mask, use_select_kernel=True)
     return idx, mask, n_neighbors, bucket_overflow
+
+
+def suggest_cell_capacity(
+    pos,
+    atom_mask=None,
+    *,
+    cutoff_upper: float,
+    box=None,
+    headroom: float = 1.1,
+    floor: int = 8,
+) -> int:
+    """Setup-time probe: tight static ``cell_capacity`` for these positions.
+
+    The cell-tile costs (candidate gather, distance filter, selection) all
+    scale with 27*cell_capacity, and the safe default (32) is ~50% padding at
+    protein density (max occupancy ~21 for DHFR).  Call once with CONCRETE
+    positions (setup / first batch — NumPy math, no device traffic) and pass
+    the result to the cell strategy; occupancy overflow stays loudly
+    detected, so a probe invalidated by large density drift fails the build
+    instead of truncating.
+
+    Args:
+        headroom: multiplicative margin over the observed max occupancy
+            (MD: atoms drift between rebuilds; 1.0 is exact for static
+            benchmarking).
+    """
+    import numpy as np
+
+    p = np.asarray(pos, dtype=np.float64)
+    if atom_mask is not None:
+        p = p[np.asarray(atom_mask)]
+    if box is not None:
+        diag = np.diagonal(np.asarray(box, dtype=np.float64))
+        p = p - np.floor(p / diag) * diag
+    else:
+        p = p - p.min(axis=0)
+    cc = np.floor(p / float(cutoff_upper)).astype(np.int64)
+    ext = cc.max(axis=0) + 1
+    key = (cc[:, 0] * ext[1] + cc[:, 1]) * ext[2] + cc[:, 2]
+    occ = int(np.bincount(key).max()) if key.size else 1
+    return max(int(floor), int(np.ceil(occ * float(headroom))))
 
 
 def neighbor_list_cell(
