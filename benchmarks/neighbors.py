@@ -32,11 +32,22 @@ def bench_strategy(strategy, n, k, cutoff):
     maskj = jnp.asarray(np.arange(npad) < n)
     bv = jnp.zeros((npad,), jnp.int32)
 
+    from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+    cap = suggest_cell_capacity(posp[:n], cutoff_upper=cutoff, headroom=1.0)
+
     def step(carry, eps):
         p, acc = carry
         if strategy == "cell-hash":
             nbl = neighbor_list_cell(
                 p, bv, maskj, k=k, cutoff_upper=cutoff, hash_strategy=True
+            )
+        elif strategy == "cell":
+            # product setup path: occupancy-probed capacity (headroom 1.0 —
+            # static positions), selection-kernel compaction
+            nbl = neighbor_list(
+                p, bv, maskj, k=k, cutoff_upper=cutoff, strategy=strategy,
+                cell_capacity=cap,
             )
         else:
             nbl = neighbor_list(
