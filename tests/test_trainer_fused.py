@@ -203,3 +203,41 @@ def test_fused_attention_engages_in_training(tmp_path, monkeypatch):
     state = trainer.fit(data)
     assert calls, "fused_et_messages was never traced under Trainer.fit"
     assert state.global_step == 2
+
+
+def test_probed_cell_capacity_threads_into_training_builds(tmp_path):
+    """The batch0 occupancy probe (r3) feeds the in-step neighbor builds:
+    _build_nbl honors trainer._cell_capacity, reproduces the default build
+    bitwise, and a too-small capacity trips the surveillance flag (not a
+    silent truncation)."""
+    import jax.numpy as jnp
+
+    h = _base_hparams(tmp_path, max_num_neighbors=96)
+    model = create_model(h)
+    trainer = Trainer(model, h)
+
+    # 2048 atoms (the auto cell threshold) at protein-like density
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 28.0, (2048, 3)).astype(np.float32)
+    mol = {
+        "z": rng.integers(1, 9, 2048).astype(np.int64),
+        "pos": pos,
+        "y": np.zeros(1, np.float32),
+    }
+    batch = pad_molecules([mol], num_atoms=2048, num_mol=1)
+
+    from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+    cap = suggest_cell_capacity(batch.pos, batch.atom_mask, cutoff_upper=5.0)
+    assert cap < 32  # the probe must beat the safe default here
+
+    ref = model.neighbors(batch)  # default capacity
+    trainer._cell_capacity = cap
+    nbl, over = trainer._build_nbl(batch)
+    assert float(over) == 0.0
+    np.testing.assert_array_equal(np.asarray(nbl.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(nbl.mask), np.asarray(ref.mask))
+
+    trainer._cell_capacity = 2  # force occupancy overflow
+    _, over = trainer._build_nbl(batch)
+    assert float(over) == 1.0

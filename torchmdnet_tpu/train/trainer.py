@@ -87,6 +87,7 @@ class Trainer:
         self._fused = bool(
             self.h.get("fused_attention") or self.h.get("fused_message")
         )
+        self._cell_capacity = None  # probed from batch0 at fit() setup
         # --edge-partition: train with the batch's ATOM rows sharded over the
         # mesh (ring schedule, O(N/D) per-device memory) instead of data
         # parallelism over molecules.  The executor is sized from the first
@@ -190,6 +191,11 @@ class Trainer:
             gather_plan=self._fused,
             plan_block_rows=int(self.h.get("plan_block_rows", 32) or 32),
             plan_width=int(self.h.get("plan_width", 512) or 512),
+            **(
+                {"cell_capacity": self._cell_capacity}
+                if self._cell_capacity
+                else {}
+            ),
         )
         flags = [nbl.overflow()]
         if nbl.cell_overflow is not None:
@@ -399,6 +405,25 @@ class Trainer:
         # for the model's list AND for every prior-internal list (ZBL/D2/
         # Coulomb build their own with their own cutoff/capacity)
         self.model.neighbors(batch0).raise_on_overflow("the first training batch")
+        # Setup-time cell-capacity probe (ops/cell_list.suggest_cell_capacity):
+        # when training large single molecules (the cell strategy's regime),
+        # the in-step neighbor build's tile costs scale with 27*cell_capacity
+        # and the safe default (32) is ~50% padding at protein density.  Size
+        # it once from batch0 with drift headroom; a denser LATER batch trips
+        # the accumulated per-batch overflow surveillance loudly (same
+        # contract as every other static capacity here).
+        if (
+            int(batch0.num_atoms) >= 2048
+            and batch0.num_atoms / max(1, batch0.num_mol) >= 512
+        ):
+            from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+            self._cell_capacity = suggest_cell_capacity(
+                batch0.pos,
+                batch0.atom_mask,
+                cutoff_upper=h.get("cutoff_upper", 5.0),
+                headroom=1.3,
+            )
         for prior in self.model.module.priors:
             prior.check_neighbor_capacity(batch0, "the first training batch")
         check_atom_filter_batch(self.model.module, batch0, "the first training batch")
