@@ -68,6 +68,27 @@ class OptimizedPotential:
         lo = model.args.get("cutoff_lower", 0.0)
         hi = model.args.get("cutoff_upper", 5.0)
 
+        # Setup-time cell-capacity probe (as in md.Simulation / Trainer.fit):
+        # size the static cell tiles from the example's observed occupancy;
+        # callers can still pin cell_capacity explicitly, and drift-induced
+        # overflow surfaces through ``stale`` like every other capacity.
+        neighbor_kwargs = dict(neighbor_kwargs or {})
+        if (
+            "cell_capacity" not in neighbor_kwargs
+            and neighbor_kwargs.get("strategy", "auto") in ("auto", "cell")
+            and int(example.num_atoms) >= 2048
+            and example.num_atoms / max(1, example.num_mol) >= 512
+        ):
+            from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+            neighbor_kwargs["cell_capacity"] = suggest_cell_capacity(
+                example.pos,
+                example.atom_mask,
+                cutoff_upper=hi + self.skin,
+                box=box,
+                headroom=1.3,
+            )
+
         if self.split:
             # neighbor_kwargs forwards strategy/capacity/gather_plan options
             # (gather_plan=True + spatially sorted atoms routes gathers
