@@ -125,9 +125,19 @@ def main():
     # with tight static tiles; occupancy overflow stays loudly detected.
     from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
 
+    # headroom > 1.0: the timed scan drifts positions (pos + eps*s), and a
+    # drifted atom crossing a floor boundary at exact capacity would overflow
+    # MID-scan where nothing checks; the pre-timing build below verifies the
+    # capacity loudly for the starting geometry.
     cap = suggest_cell_capacity(
-        batch.pos, batch.atom_mask, cutoff_upper=5.0, headroom=1.0
+        batch.pos, batch.atom_mask, cutoff_upper=5.0, headroom=1.1
     )
+    # Check cell_overflow ONLY: the K=32 per-atom truncation is deliberate
+    # (the reference benchmark's radius_graph truncates to 32 the same way),
+    # but a cell-capacity overflow would silently DROP candidate atoms.
+    _pre = model.neighbors(batch, cell_capacity=cap)
+    if _pre.cell_overflow is not None and bool(np.asarray(_pre.cell_overflow)):
+        raise ValueError("bench.py: probed cell_capacity overflowed pre-timing")
 
     def step(carry, eps):
         pos, acc = carry

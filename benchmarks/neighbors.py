@@ -34,7 +34,16 @@ def bench_strategy(strategy, n, k, cutoff):
 
     from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
 
-    cap = suggest_cell_capacity(posp[:n], cutoff_upper=cutoff, headroom=1.0)
+    # headroom > 1.0 + loud pre-timing check: the timed scan drifts
+    # positions, and an exact-capacity probe can overflow mid-scan silently.
+    cap = suggest_cell_capacity(posp[:n], cutoff_upper=cutoff, headroom=1.1)
+    # cell_overflow ONLY (k-truncation is part of the measured contract)
+    _pre = neighbor_list(
+        posj, bv, maskj, k=k, cutoff_upper=cutoff, strategy="cell",
+        cell_capacity=cap,
+    )
+    if _pre.cell_overflow is not None and bool(np.asarray(_pre.cell_overflow)):
+        raise ValueError("benchmarks/neighbors.py: probed capacity overflowed")
 
     def step(carry, eps):
         p, acc = carry
@@ -43,8 +52,8 @@ def bench_strategy(strategy, n, k, cutoff):
                 p, bv, maskj, k=k, cutoff_upper=cutoff, hash_strategy=True
             )
         elif strategy == "cell":
-            # product setup path: occupancy-probed capacity (headroom 1.0 —
-            # static positions), selection-kernel compaction
+            # product setup path: occupancy-probed capacity (headroom for
+            # scan drift, pre-checked above), selection-kernel compaction
             nbl = neighbor_list(
                 p, bv, maskj, k=k, cutoff_upper=cutoff, strategy=strategy,
                 cell_capacity=cap,

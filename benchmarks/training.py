@@ -121,13 +121,19 @@ def main():
     model = create_model(h)
     h["log_dir"] = "/tmp/bench_training_logs"
     trainer = Trainer(model, h)
-    if args.system and args.num_atoms >= 2048:
+    from torchmdnet_tpu.ops.cell_list import (
+        suggest_cell_capacity,
+        wants_cell_probe,
+    )
+
+    if args.system and wants_cell_probe(batch.num_atoms, batch.num_mol):
         # mirror Trainer.fit's batch0 occupancy probe (this harness drives
         # _train_step directly)
-        from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
-
         trainer._cell_capacity = suggest_cell_capacity(
-            batch.pos, batch.atom_mask, cutoff_upper=5.0, headroom=1.3
+            batch.pos,
+            batch.atom_mask,
+            cutoff_upper=h.get("cutoff_upper", 5.0),
+            headroom=1.3,
         )
         print(f"# probed cell_capacity: {trainer._cell_capacity}")
     params = model.init(jax.random.PRNGKey(0), batch)

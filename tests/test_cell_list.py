@@ -179,3 +179,60 @@ def test_suggest_cell_capacity_probe():
         jnp.asarray(pos), k=32, cutoff_upper=4.0, cell_capacity=max(1, cap // 4)
     )
     assert bool(nbl_low.cell_overflow)
+
+
+def test_wants_cell_probe_gate():
+    """The large-molecule probe gate has ONE definition (ops/cell_list) used
+    by Trainer.fit, OptimizedPotential, md.Simulation, benchmarks/training."""
+    from torchmdnet_tpu.ops.cell_list import wants_cell_probe
+
+    assert wants_cell_probe(2048, 1)
+    assert wants_cell_probe(30327, 1)
+    assert wants_cell_probe(4096, 8)  # 512 atoms/mol boundary
+    assert not wants_cell_probe(2047, 1)  # below total-atom floor
+    assert not wants_cell_probe(4096, 9)  # < 512 atoms per molecule
+    assert not wants_cell_probe(128, 1)
+    # the three production call sites all route through the shared predicate
+    import inspect
+
+    import torchmdnet_tpu.md as md
+    import torchmdnet_tpu.optimize as optimize
+    import torchmdnet_tpu.train.trainer as trainer
+
+    for mod in (md, optimize, trainer):
+        assert "wants_cell_probe" in inspect.getsource(mod)
+
+
+@pytest.mark.parametrize(
+    "side,cutoff,n",
+    [(51.4, 7.0, 4096), (18.0, 4.0, 600), (33.3, 5.0, 2048)],
+)
+def test_suggest_cell_capacity_probe_box(side, cutoff, n):
+    """Box-path probe regression (ADVICE r3): the build clips cell coords to
+    ext = floor(diag/cutoff), merging the boundary remainder slab into the
+    last cells — up to ~8x a width-cutoff cell's volume in the corner.  The
+    probe must bin identically or the first periodic build overflows
+    spuriously for any non-integer diag/cutoff ratio (e.g. 97.5/7)."""
+    from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0, side, size=(n, 3)).astype(np.float32)
+    box = np.diag([side, side, side]).astype(np.float32)
+    cap = suggest_cell_capacity(pos, cutoff_upper=cutoff, box=box, headroom=1.0)
+    nbl = neighbor_list_cell(
+        jnp.asarray(pos),
+        k=96,
+        cutoff_upper=cutoff,
+        box=jnp.asarray(box),
+        cell_capacity=cap,
+    )
+    assert not bool(nbl.cell_overflow)
+    ref = neighbor_list(
+        jnp.asarray(pos),
+        k=96,
+        cutoff_upper=cutoff,
+        box=jnp.asarray(box),
+        strategy="brute",
+    )
+    np.testing.assert_array_equal(np.asarray(nbl.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(nbl.mask), np.asarray(ref.mask))

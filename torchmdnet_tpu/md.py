@@ -113,13 +113,16 @@ class Simulation:
         # between rebuilds; occupancy overflow stays loudly detected via
         # MDState.stale / raise_on_overflow).
         neighbor_kwargs = dict(neighbor_kwargs or {})
+        from torchmdnet_tpu.ops.cell_list import (
+            suggest_cell_capacity,
+            wants_cell_probe,
+        )
+
         if (
             "cell_capacity" not in neighbor_kwargs
             and neighbor_strategy in ("auto", "cell")
-            and int(batch.num_atoms) >= 2048
+            and wants_cell_probe(batch.num_atoms, batch.num_mol)
         ):
-            from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
-
             neighbor_kwargs["cell_capacity"] = suggest_cell_capacity(
                 batch.pos,
                 batch.atom_mask,

@@ -430,6 +430,21 @@ def _neighbor_list_cell_hash(
     return idx, mask, n_neighbors, bucket_overflow
 
 
+def wants_cell_probe(num_atoms, num_mol=1) -> bool:
+    """The ONE large-molecule gate for the setup-time occupancy probe.
+
+    The cell strategy (and therefore the probe) pays off when the batch holds
+    large molecules: >= 2048 atoms total and >= 512 atoms per molecule (below
+    that, brute's O(N^2) tiles are cheaper than cell setup and the default
+    capacity is harmless).  Trainer.fit, OptimizedPotential, md.Simulation
+    and the training benchmark all call THIS predicate — keep the heuristic
+    here, next to ``suggest_cell_capacity``, so it cannot drift between call
+    sites.
+    """
+    num_atoms = int(num_atoms)
+    return num_atoms >= 2048 and num_atoms / max(1, int(num_mol)) >= 512
+
+
 def suggest_cell_capacity(
     pos,
     atom_mask=None,
@@ -456,16 +471,31 @@ def suggest_cell_capacity(
     """
     import numpy as np
 
-    p = np.asarray(pos, dtype=np.float64)
+    # Bin in the SAME dtype the build will use (_neighbor_list_cell_tiles
+    # keeps f64 inputs in f64, everything else runs f32): a higher-precision
+    # probe can bin an edge atom into a different cell than the build does.
+    p = np.asarray(pos)
+    if p.dtype != np.float64:
+        p = p.astype(np.float32)
     if atom_mask is not None:
         p = p[np.asarray(atom_mask)]
+    cut = p.dtype.type(cutoff_upper)
     if box is not None:
-        diag = np.diagonal(np.asarray(box, dtype=np.float64))
+        # Mirror the build's box branch exactly: the grid has
+        # ext = floor(diag/cutoff) cells per dim (clamped >= 1) and clips
+        # cell coords into [0, ext-1], merging the boundary remainder slab
+        # (width diag - ext*cutoff, up to ~1 cell) into the LAST cell of each
+        # dim — those cells hold up to ~2x (8x in the corner) the atoms of a
+        # width-cutoff cell, so an unclipped probe under-provisions and the
+        # first build raises cell_overflow spuriously.
+        diag = np.diagonal(np.asarray(box)).astype(p.dtype)
         p = p - np.floor(p / diag) * diag
+        ext = np.maximum(np.floor(diag / cut).astype(np.int64), 1)
+        cc = np.clip(np.floor(p / cut).astype(np.int64), 0, ext - 1)
     else:
         p = p - p.min(axis=0)
-    cc = np.floor(p / float(cutoff_upper)).astype(np.int64)
-    ext = cc.max(axis=0) + 1
+        cc = np.floor(p / cut).astype(np.int64)
+        ext = cc.max(axis=0) + 1
     key = (cc[:, 0] * ext[1] + cc[:, 1]) * ext[2] + cc[:, 2]
     occ = int(np.bincount(key).max()) if key.size else 1
     return max(int(floor), int(np.ceil(occ * float(headroom))))

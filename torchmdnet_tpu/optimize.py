@@ -73,14 +73,16 @@ class OptimizedPotential:
         # callers can still pin cell_capacity explicitly, and drift-induced
         # overflow surfaces through ``stale`` like every other capacity.
         neighbor_kwargs = dict(neighbor_kwargs or {})
+        from torchmdnet_tpu.ops.cell_list import (
+            suggest_cell_capacity,
+            wants_cell_probe,
+        )
+
         if (
             "cell_capacity" not in neighbor_kwargs
             and neighbor_kwargs.get("strategy", "auto") in ("auto", "cell")
-            and int(example.num_atoms) >= 2048
-            and example.num_atoms / max(1, example.num_mol) >= 512
+            and wants_cell_probe(example.num_atoms, example.num_mol)
         ):
-            from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
-
             neighbor_kwargs["cell_capacity"] = suggest_cell_capacity(
                 example.pos,
                 example.atom_mask,

@@ -412,12 +412,12 @@ class Trainer:
         # it once from batch0 with drift headroom; a denser LATER batch trips
         # the accumulated per-batch overflow surveillance loudly (same
         # contract as every other static capacity here).
-        if (
-            int(batch0.num_atoms) >= 2048
-            and batch0.num_atoms / max(1, batch0.num_mol) >= 512
-        ):
-            from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+        from torchmdnet_tpu.ops.cell_list import (
+            suggest_cell_capacity,
+            wants_cell_probe,
+        )
 
+        if wants_cell_probe(batch0.num_atoms, batch0.num_mol):
             self._cell_capacity = suggest_cell_capacity(
                 batch0.pos,
                 batch0.atom_mask,
