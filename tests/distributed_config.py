@@ -1,5 +1,21 @@
-"""Shared hyperparameters for the multi-host equality test (imported by both
-the 2-process workers and the single-process reference run)."""
+"""Shared hyperparameters for the multi-host equality tests (imported by both
+the 2-process workers and the single-process reference runs)."""
+
+
+def make_ring_hparams(log_dir):
+    """Multi-host RING (--edge-partition) config: one 14-atom molecule per
+    batch, atom rows sharded over the 4-device (2-process) mesh."""
+    h = make_hparams(log_dir)
+    h.update(
+        edge_partition=True,
+        batch_size=1,
+        inference_batch_size=1,
+        max_num_neighbors=16,
+        train_size=4,
+        val_size=2,
+        test_size=2,
+    )
+    return h
 
 
 def make_hparams(log_dir):

@@ -4,7 +4,11 @@ Launched twice (NODE_RANK 0/1) with 2 virtual CPU devices per process: a
 4-device, 2-process data-parallel training run that must reproduce the
 single-process trajectory bit-for-bit up to float reduction order.
 
-Usage: python distributed_worker.py <rank> <port> <log_dir>
+Usage: python distributed_worker.py <rank> <port> <log_dir> [mode]
+
+mode: "dp" (default) — data-parallel trainer;
+      "ring" — --edge-partition trainer (atom rows of one molecule sharded
+      over the 2-process x 2-device mesh through the ring schedule).
 """
 
 import os
@@ -13,6 +17,7 @@ import sys
 rank = int(sys.argv[1])
 port = sys.argv[2]
 log_dir = sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "").replace(
@@ -43,10 +48,14 @@ from torchmdnet_tpu.parallel.mesh import make_mesh  # noqa: E402
 from torchmdnet_tpu.train.trainer import Trainer  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from distributed_config import make_hparams  # noqa: E402
+from distributed_config import make_hparams, make_ring_hparams  # noqa: E402
 
-h = make_hparams(log_dir)
-ds = DummyDataset(num_samples=16, num_atoms=5, seed=3)
+if mode == "ring":
+    h = make_ring_hparams(log_dir)
+    ds = DummyDataset(num_samples=8, num_atoms=14, seed=3)
+else:
+    h = make_hparams(log_dir)
+    ds = DummyDataset(num_samples=16, num_atoms=5, seed=3)
 data = DataModule(h, dataset=ds)
 data.setup()
 model = create_model(h)

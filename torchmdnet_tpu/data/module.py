@@ -102,6 +102,13 @@ class DataModule:
         from torchmdnet_tpu.parallel.distributed import process_info
 
         rank, count = process_info()
+        if h.get("edge_partition"):
+            # ring edge-partitioning shards ATOM rows of one large batch over
+            # the whole mesh, not samples over processes: every process loads
+            # the SAME full batch (deterministic order via the shared seed)
+            # and the trainer assembles global atom-sharded Arrays from the
+            # host-identical data (parallel/distributed.py).
+            rank, count = 0, 1
         num_buckets = int(h.get("loader_buckets", 1) or 1)
         return PaddedLoader(
             dataset,

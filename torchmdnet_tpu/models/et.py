@@ -126,9 +126,8 @@ class EquivariantMultiHeadAttention(nn.Module):
                         "gather plan. Build it via Potential.neighbors(batch, "
                         "gather_plan=True) on a spatially sorted batch and "
                         "pass it into apply/energy_and_forces (the trainer "
-                        "does this when --fused-attention is set; ring "
-                        "edge-partitioning does not compose with the fused "
-                        "kernels yet — run one or the other)."
+                        "and RingExecutor do this when --fused-attention is "
+                        "set)."
                     )
                 if not self.bf16_messages:
                     raise ValueError(
@@ -183,6 +182,23 @@ class EquivariantMultiHeadAttention(nn.Module):
                 cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
                 * nbl.mask
             ).astype(f32)
+            # Ring edge-partitioning: the executor attaches the boundary
+            # schedules to the plan (BlockGatherPlan.ring); the static mesh
+            # coordinates ride the hashable config so the custom_transpose
+            # bodies never read the ring context (et_message.py docstring).
+            ring_kwargs = {}
+            from torchmdnet_tpu.parallel.context import ring_info
+
+            rinfo = ring_info()
+            if rinfo is not None:
+                if nbl.gather_plan.ring is None:
+                    raise ValueError(
+                        "fused_attention under ring edge-partitioning needs "
+                        "a gather plan carrying ring boundary schedules "
+                        "(BlockGatherPlan.ring); build it through "
+                        "RingExecutor (parallel/edge_partition.py)."
+                    )
+                ring_kwargs = dict(ring_axis=rinfo.axis, ring_d=rinfo.n_shards)
             cfg = FusedETConfig(
                 h=h,
                 heads=heads,
@@ -195,6 +211,7 @@ class EquivariantMultiHeadAttention(nn.Module):
                 # against the 16 MB scoped-VMEM limit (kc=8 at R=16 measured
                 # fitting at K~100/W=384; larger R or W needs smaller chunks)
                 kc=max(2, 128 // nbl.gather_plan.block_rows),
+                **ring_kwargs,
             )
             x_agg, vec_cat = fused_et_messages(
                 cfg,

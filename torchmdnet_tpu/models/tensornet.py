@@ -307,9 +307,8 @@ class Interaction(nn.Module):
                         "gather plan. Build it via Potential.neighbors(batch, "
                         "gather_plan=True) on a spatially sorted batch and "
                         "pass it into apply/energy_and_forces (the trainer "
-                        "does this when --fused-message is set; ring "
-                        "edge-partitioning does not compose with the fused "
-                        "kernels yet — run one or the other)."
+                        "and RingExecutor do this when --fused-message is "
+                        "set)."
                     )
                 if not self.bf16_messages:
                     raise ValueError(
@@ -370,6 +369,21 @@ class Interaction(nn.Module):
             )
 
             bf = jnp.bfloat16
+            # ring edge-partitioning: static mesh coordinates on the config,
+            # boundary schedules on the plan (see models/et.py)
+            ring_kwargs = {}
+            from torchmdnet_tpu.parallel.context import ring_info
+
+            rinfo = ring_info()
+            if rinfo is not None:
+                if nbl.gather_plan.ring is None:
+                    raise ValueError(
+                        "fused_message under ring edge-partitioning needs a "
+                        "gather plan carrying ring boundary schedules "
+                        "(BlockGatherPlan.ring); build it through "
+                        "RingExecutor (parallel/edge_partition.py)."
+                    )
+                ring_kwargs = dict(ring_axis=rinfo.axis, ring_d=rinfo.n_shards)
             cfg = FusedTNConfig(
                 h=h,
                 act=self.activation,
@@ -378,6 +392,7 @@ class Interaction(nn.Module):
                 # receiver blocks (needed to fit the bwd kernel in scoped
                 # VMEM at protein K) would otherwise leave the matmuls skinny
                 kc=max(2, 128 // nbl.gather_plan.block_rows),
+                **ring_kwargs,
             )
             cutm = (c * nbl.mask).astype(jnp.float32)
             m = fused_tn_messages(

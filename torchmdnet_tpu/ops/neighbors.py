@@ -297,19 +297,11 @@ def _mxu_gather_transpose(res, ct):
     return ell_transpose_sum(ct, idx)
 
 
-@jax.custom_vjp
-def _ell_gather_xla(x, idx):
+def _ell_gather_xla_impl(idx, x):
     return x[idx]
 
 
-@jax.custom_vjp
-def ell_transpose_sum(g, idx):
-    """dh[j] = sum of g[i, k] over all slots with idx[i, k] == j.
-
-    The linear transpose of ell_gather, computed with one argsort (CSE'd
-    across layers sharing the neighbor list) + one row gather + a K-axis
-    reduction instead of a scatter-add.
-    """
+def _ell_transpose_sum_impl(idx, g):
     n, k = idx.shape
     perm = _transpose_perm(idx)
     g2 = g.reshape(n * k, -1)[perm]
@@ -320,32 +312,43 @@ def ell_transpose_sum(g, idx):
     return out.reshape((n,) + g.shape[2:])
 
 
-def _ell_gather_fwd(x, idx):
-    return x[idx], (idx,)
+def _ell_gather_xla(x, idx):
+    # linear_call (not custom_vjp): gather and transpose reference each other
+    # as forward/transpose of ONE linear op, so every composition —
+    # grad-of-grad AND forward-over-reverse (the trainer's jvp-mode force
+    # gradients) — resolves without extra rules.  custom_vjp lowers to
+    # custom_lin residuals that reverse-over-forward cannot differentiate.
+    def fwd(idx, x):
+        return _ell_gather_xla_impl(idx, x)
+
+    def trans(idx, ct):
+        return _ell_transpose_sum_impl(idx, ct)
+
+    return jax.custom_derivatives.linear_call(fwd, trans, idx, x)
 
 
-def _ell_gather_bwd(res, g):
-    (idx,) = res
-    return ell_transpose_sum(g, idx), None
+def ell_transpose_sum(g, idx):
+    """dh[j] = sum of g[i, k] over all slots with idx[i, k] == j.
 
+    The linear transpose of ell_gather, computed with one argsort (CSE'd
+    across layers sharing the neighbor list) + one row gather + a K-axis
+    reduction instead of a scatter-add.  Expressed as the linear_call mirror
+    of _ell_gather_xla (its transpose is a broadcast + inverse-permutation
+    gather, NOT x[idx] — the K-sum's transpose replicates over K).
+    """
 
-_ell_gather_xla.defvjp(_ell_gather_fwd, _ell_gather_bwd)
+    def fwd(idx, g):
+        return _ell_transpose_sum_impl(idx, g)
 
+    def trans(idx, c):
+        n, k = idx.shape
+        inv = jnp.argsort(_transpose_perm(idx)).astype(jnp.int32)
+        c2 = jnp.broadcast_to(
+            c.reshape(n, 1, -1), (n, k, c.reshape(n, -1).shape[-1])
+        )
+        return c2.reshape(n * k, -1)[inv].reshape((n, k) + c.shape[1:])
 
-def _ell_transpose_sum_fwd(g, idx):
-    return ell_transpose_sum(g, idx), (idx,)
-
-
-def _ell_transpose_sum_bwd(res, c):
-    (idx,) = res
-    n, k = idx.shape
-    inv = jnp.argsort(_transpose_perm(idx)).astype(jnp.int32)
-    c2 = jnp.broadcast_to(c.reshape(n, 1, -1), (n, k, c.reshape(n, -1).shape[-1]))
-    out = c2.reshape(n * k, -1)[inv].reshape((n, k) + c.shape[1:])
-    return out, None
-
-
-ell_transpose_sum.defvjp(_ell_transpose_sum_fwd, _ell_transpose_sum_bwd)
+    return jax.custom_derivatives.linear_call(fwd, trans, idx, g)
 
 
 def minimum_image(delta, box):

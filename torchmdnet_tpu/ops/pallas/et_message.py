@@ -123,6 +123,80 @@ class FusedETConfig(NamedTuple):
     has_dv: bool
     interpret: bool
     kc: int = 16  # K-chunk size (rows per MXU call = R * kc)
+    # Ring edge-partitioning (parallel/edge_partition.py): when ring_axis is
+    # set, the plan's ids are GLOBAL, its rows shard-local, and the source-
+    # table gather/scatter plus the composable reference's edge gathers run
+    # the ring schedule over plan.ring's boundary tables.
+    ring_axis: str = None
+    ring_d: int = 0
+
+
+def _table_gather(cfg, src, plan):
+    """xw[b, w] = src[plan.u[b, w]] — the fused kernels' only cross-row read.
+
+    Single device: one XLA row gather.  Under ring partitioning: the
+    generalized ring schedule over the plan's u-table boundary slots
+    (O(N/D) per-device memory; src is this shard's rows, u holds global ids).
+    """
+    if cfg.ring_axis is not None:
+        from torchmdnet_tpu.parallel.edge_partition import ring_rows_gather
+
+        mask = jnp.broadcast_to(
+            jnp.arange(plan.u.shape[1], dtype=jnp.int32)[None, :]
+            < plan.n_unique[:, None],
+            plan.u.shape,
+        )
+        out = ring_rows_gather(
+            src, plan.u, plan.ring.u_slots, plan.ring.u_valid,
+            cfg.ring_axis, cfg.ring_d,
+        )
+        # junk table entries (>= n_unique, id 0) must not leak shard-0 rows
+        return jnp.where(mask[..., None], out, 0)
+    return src[plan.u]
+
+
+def _table_scatter(cfg, dxw, plan, n_rows: int):
+    """d_src[j] = sum of dxw[b, w] over plan.u[b, w] == j (valid entries).
+
+    Single device: the plan's inverse table (scatter-free).  Under ring: the
+    generalized ring reduce routing each block's source-cotangent partials
+    back to the owner shard.  Returns f32 rows (callers cast).
+    """
+    if cfg.ring_axis is not None:
+        from torchmdnet_tpu.parallel.edge_partition import ring_rows_transpose
+
+        mask = (
+            jnp.arange(plan.u.shape[1], dtype=jnp.int32)[None, :]
+            < plan.n_unique[:, None]
+        )
+        dxw = jnp.where(mask[..., None], dxw, 0)
+        return ring_rows_transpose(
+            dxw.astype(jnp.float32), plan.u, plan.ring.u_slots,
+            plan.ring.u_valid, cfg.ring_axis, cfg.ring_d, n_out=n_rows,
+        )
+    return _inverse_scatter(dxw, plan)
+
+
+def _ref_edge_gather(cfg, x, idx, plan):
+    """x[idx] inside the composable reference — ring-scheduled under edge
+    partitioning (explicit plan.ring arrays, differentiable/transposable at
+    every order via the linear_call pair).
+
+    Single device, the gather routes through ell_gather WITH the plan: the
+    composable second-order rule is the force-training outer pass's hot
+    path, and the one-hot MXU gather + G^T-matmul transpose are its fastest
+    implementations for wide bf16 rows (PERF.md) — the rule's cost is pure
+    overhead over the kernels, so every saved pass matters."""
+    if cfg.ring_axis is not None:
+        from torchmdnet_tpu.parallel.edge_partition import ring_rows_gather
+
+        return ring_rows_gather(
+            x, idx, plan.ring.e_slots, plan.ring.e_valid,
+            cfg.ring_axis, cfg.ring_d,
+        )
+    from torchmdnet_tpu.ops.neighbors import ell_gather
+
+    return ell_gather(x, idx, plan)
 
 
 def _chunks(k: int, kc: int):
@@ -552,7 +626,7 @@ def reconstruct_idx(plan: BlockGatherPlan):
     return plan.u[rows[:, None], plan.local]
 
 
-def _composable_reference(cfg, idx, ones, inputs):
+def _composable_reference(cfg, plan, idx, ones, inputs):
     """Plain-JAX twin of _fwd_kernel: same math, same bf16-compute /
     f32-accumulate discipline, composable ops only.  Never executed on the
     reverse-mode hot path — it is the body the higher-order autodiff rules
@@ -561,7 +635,8 @@ def _composable_reference(cfg, idx, ones, inputs):
     ``idx``/``ones`` arrive as explicit arguments (not built in-body):
     the custom_transpose forward body must not create array constants —
     they become constvars its staging cannot re-associate ("Too many
-    leaves for PyTreeDef").
+    leaves for PyTreeDef").  The same rule is why the ring boundary tables
+    ride inside ``plan.ring`` instead of being read from the ring context.
     """
     (q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
      wdk, bdk, wdv, bdv) = inputs
@@ -575,7 +650,7 @@ def _composable_reference(cfg, idx, ones, inputs):
     if cfg.has_dv:
         pre = jax.lax.dot(ea2, wdv, preferred_element_type=jnp.float32)
         dv = _act_v(cfg.act, pre.astype(bf) + bdv).reshape(ea.shape[:2] + (3 * h,))
-    kj = k[idx]
+    kj = _ref_edge_gather(cfg, k, idx, plan)
     prod = q[:, None, :] * kj
     if dk is not None:
         prod = prod * dk
@@ -584,7 +659,7 @@ def _composable_reference(cfg, idx, ones, inputs):
         prod.reshape(rc, h), ones, preferred_element_type=jnp.float32
     ).astype(bf).reshape(prod.shape)
     attn = _act_v(cfg.attn_act, pre_a) * cutm[..., None].astype(bf)
-    vdv = v[idx]
+    vdv = _ref_edge_gather(cfg, v, idx, plan)
     if dv is not None:
         vdv = vdv * dv
     x_m = vdv[..., :h]
@@ -595,7 +670,9 @@ def _composable_reference(cfg, idx, ones, inputs):
     for c, (vec_c, dir_c) in enumerate(
         ((vec0, dir0), (vec1, dir1), (vec2, dir2))
     ):
-        msg = vec_c[idx] * vw1 + vw2 * dir_c[..., None].astype(bf)
+        msg = _ref_edge_gather(cfg, vec_c, idx, plan) * vw1 + vw2 * dir_c[
+            ..., None
+        ].astype(bf)
         vec_parts.append(msg.astype(jnp.float32).sum(axis=1))
     return x_agg, jnp.concatenate(vec_parts, axis=-1)
 
@@ -621,14 +698,14 @@ def _et_bwd_op(cfg, plan, inputs, ct):
     src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
     # regather the (NB, W, 7H) table instead of storing it as a residual —
     # at STMV scale the per-layer xw is ~GBs
-    xw = src[plan.u]
+    xw = _table_gather(cfg, src, plan)
     outs = _run_bwd(
         cfg, plan, q, ea, cutm, msk, (dir0, dir1, dir2), xw,
         wdk, bdk, wdv, bdv,
         ct_x.astype(jnp.float32), ct_vec.astype(jnp.float32),
     )
     dq, dea, dcutm, dd0, dd1, dd2, dxw, dwdk_p, dbdk_p, dwdv_p, dbdv_p = outs
-    d_src = _inverse_scatter(dxw, plan).astype(q.dtype)  # (N, 7H)
+    d_src = _table_scatter(cfg, dxw, plan, q.shape[0]).astype(q.dtype)  # (N, 7H)
     return (
         dq.astype(q.dtype),
         d_src[:, :h],
@@ -663,7 +740,7 @@ def _et_bwd_op_jvp(cfg, primals, tangents):
 
     def ref_vjp(inputs, ct):
         _, vjp = jax.vjp(
-            lambda ins: _composable_reference(cfg, idx, ones, ins), inputs
+            lambda ins: _composable_reference(cfg, plan, idx, ones, ins), inputs
         )
         (d,) = vjp(ct)
         # the composable vjp yields a float mask cotangent; zero it like the
@@ -687,7 +764,7 @@ def _et_dot(cfg):
     def dot(res, d_inputs):
         plan, idx, ones, inputs = res
         _, tangent = jax.jvp(
-            lambda ins: _composable_reference(cfg, idx, ones, ins),
+            lambda ins: _composable_reference(cfg, plan, idx, ones, ins),
             (inputs,), (d_inputs,),
         )
         return tangent
@@ -729,7 +806,9 @@ def fused_et_messages(
     outer pass while the inner force evaluation stays fused.
     """
     src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
-    xw = src[plan.u]  # (NB, W, 7H) — the only HBM gather of the edge phase
+    # (NB, W, 7H) — the only HBM gather of the edge phase (ring-scheduled
+    # over boundary sources under edge partitioning)
+    xw = _table_gather(cfg, src, plan)
     return _run_fwd(
         cfg, plan, q, ea, cutm, msk, (dir0, dir1, dir2), xw, wdk, bdk, wdv, bdv
     )

@@ -38,6 +38,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+class RingTablePlan(NamedTuple):
+    """Ring boundary schedules attached to a BlockGatherPlan under edge
+    partitioning (parallel/edge_partition.py).  All ids in the owning plan
+    are then GLOBAL while its rows are shard-local:
+
+    - ``u_slots``/``u_valid``: make_ring_plan over the (NB_l, W) unique-
+      source table ``u`` (n_source_local = atoms per shard) — drives the
+      xw source-table gather and the dxw transpose of the fused kernels;
+    - ``e_slots``/``e_valid``: the MODEL neighbor list's own ring plan
+      (same arrays as RingInfo.slots/valid) — drives the composable
+      reference's edge gathers in the higher-order rules.
+    """
+
+    u_slots: jnp.ndarray  # (D, Bu) int32 flat slots into (NB_l * W,)
+    u_valid: jnp.ndarray  # (D, Bu) bool
+    e_slots: jnp.ndarray  # (D, B) int32 flat slots into (N_l * K,)
+    e_valid: jnp.ndarray  # (D, B) bool
+
+
 class BlockGatherPlan(NamedTuple):
     """Per-block source compaction of an ELL neighbor list.
 
@@ -55,6 +74,9 @@ class BlockGatherPlan(NamedTuple):
     inv_pos: jnp.ndarray  # (N, A) int32
     inv_valid: jnp.ndarray  # (N, A) bool
     inv_overflow: jnp.ndarray  # () int32: sources in more than A blocks
+    # edge-partitioned execution only: ring boundary schedules (ids above are
+    # then global, rows local); None on single-device plans
+    ring: "RingTablePlan" = None
 
     @property
     def block_rows(self) -> int:

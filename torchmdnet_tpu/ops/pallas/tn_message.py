@@ -37,6 +37,9 @@ from torchmdnet_tpu.ops.pallas.et_message import (
     _dact_v,
     _chunks,
     _inverse_scatter,
+    _ref_edge_gather,
+    _table_gather,
+    _table_scatter,
     reconstruct_idx,
 )
 
@@ -46,6 +49,9 @@ class FusedTNConfig(NamedTuple):
     act: str
     interpret: bool
     kc: int = 8
+    # ring edge-partitioning (see et_message.FusedETConfig)
+    ring_axis: str = None
+    ring_d: int = 0
 
 
 def _wb_cat(w3, h):
@@ -247,7 +253,7 @@ def _composable_tn_reference(cfg, plan, inputs):
     )
     wm = t3.reshape(n, k, 3 * h)
     wb = _wb_cat(wm, h) * cutm[..., None].astype(bf)
-    g = cat[idx]  # (N, K, 9H)
+    g = _ref_edge_gather(cfg, cat, idx, plan)  # (N, K, 9H)
     return (g * wb).astype(jnp.float32).sum(axis=1)
 
 
@@ -275,7 +281,7 @@ def _tn_bwd_op(cfg, plan, inputs, ct):
         w1 = jnp.pad(w1, ((0, rbf - rbf_true), (0, 0)))
     h = cfg.h
     r = n // nb
-    xw = cat[plan.u]
+    xw = _table_gather(cfg, cat, plan)
     kern = functools.partial(_bwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
     nk = lambda: pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -328,8 +334,8 @@ def _tn_bwd_op(cfg, plan, inputs, ct):
     dea = dea[:, :, :rbf_true]
     dw1 = dw1[:, :rbf_true, :]
     # NO whole-table f32 upcast: dxw is (NB, W, 9H) — 8.3 GB at STMV scale
-    # in f32; _inverse_scatter's K-sum accumulates in f32 on its own
-    d_cat = _inverse_scatter(dxw, plan).astype(cat.dtype)
+    # in f32; _table_scatter accumulates its K/ring sums in f32 on its own
+    d_cat = _table_scatter(cfg, dxw, plan, cat.shape[0]).astype(cat.dtype)
     return (
         d_cat,
         dea.astype(ea.dtype),
@@ -403,7 +409,7 @@ def fused_tn_messages(cfg, plan, cat, ea, cutm, w1, b1, w2, b2, w3, b3):
     nb, w = plan.u.shape
     rbf = ea.shape[-1]
     h = cfg.h
-    xw = cat[plan.u]  # (NB, W, 9H)
+    xw = _table_gather(cfg, cat, plan)  # (NB, W, 9H)
     kern = functools.partial(_fwd_kernel, w=w, kc=cfg.kc, h=h, act=cfg.act)
     r = n // nb
     return pl.pallas_call(

@@ -93,6 +93,45 @@ def global_batch_from_local(batch, mesh, axis: str = "dp"):
     return jax.tree_util.tree_map(put, batch)
 
 
+def global_from_host_identical(tree, mesh, axis: str = "dp", n_rows=None):
+    """Row-shard HOST-IDENTICAL arrays over a (possibly multi-process) mesh.
+
+    Edge-partitioned training loads the SAME full batch on every process
+    (one large molecule; sample-sharding it like DP would be wrong), then
+    shards its ATOM rows over the mesh.  ``jax.device_put`` cannot place a
+    host-local array on a sharding spanning other processes' devices, so
+    each leaf is assembled via ``jax.make_array_from_callback`` — every
+    process serves exactly the row slices its local devices own, which is
+    valid because the host arrays are bitwise identical (same loader, same
+    seed, deterministic spatial_sort).
+
+    Layout matches :func:`edge_partition.shard_batch_by_atoms`: arrays whose
+    leading dim holds the sharded rows get P(axis), everything else
+    (molecule-indexed arrays, scalars) is replicated.  ``n_rows`` is the
+    sharded row count — for an AtomicBatch it defaults to ``batch.num_atoms``;
+    pass it explicitly for bare array trees (None shards every ndim>=1 leaf).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if n_rows is None and hasattr(tree, "num_atoms"):
+        n_rows = int(tree.num_atoms)
+    row_sharding = NamedSharding(mesh, P(axis))
+    rep_sharding = NamedSharding(mesh, P())
+
+    def put(leaf):
+        if leaf is None or not hasattr(leaf, "ndim"):
+            return leaf
+        arr = np.asarray(leaf)
+        shard_rows = arr.ndim >= 1 and (n_rows is None or arr.shape[0] == n_rows)
+        sharding = row_sharding if shard_rows else rep_sharding
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def replicate_to_mesh(tree, mesh):
     """Replicate a (host-identical) pytree onto every device of the mesh.
 
