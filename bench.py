@@ -169,6 +169,31 @@ def main():
     REF_GN_FORCES_MS = 34.2  # reference GN DHFR fwd+bwd (BASELINE.md); no
     # ET/TensorNet DHFR numbers are published, so these lines compare a
     # HARDER model here against the reference's cheapest model there.
+    # large-system line: GN STMV forward vs the reference's NNPOps-optimized
+    # 217.7 ms (the only reference path that can run STMV at all)
+    try:
+        ms = stmv_forward_ms()
+        print(
+            json.dumps(
+                {
+                    "metric": "gn_forward_stmv30327_ms",
+                    "value": round(ms, 3),
+                    "unit": "ms/it",
+                    "vs_baseline": round(217.7 / ms, 3),
+                    "note": "vs reference GN STMV forward, NNPOps-optimized "
+                    "(plain reference GN OOMs at STMV); bf16 messages, cell "
+                    "strategy with occupancy probe",
+                    "system": "stmv",
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:
+        print(
+            json.dumps({"metric": "gn_forward_stmv30327_ms", "error": str(e)[:200]}),
+            flush=True,
+        )
+
     for metric, model_name, rows, width, fused in (
         # both flagship models' best force configs are the fused Pallas
         # kernels (PERF.md r3 tables: ET 78.6 -> 42.7 composable->fused,
@@ -196,6 +221,58 @@ def main():
             ),
             flush=True,
         )
+
+
+def stmv_forward_ms():
+    """GN STMV (30327 atoms) forward — the largest reference benchmark
+    system; the reference plain GN OOMs on it and only the NNPOps-optimized
+    path runs (217.7 ms/it, BASELINE.md).  Same scan-differenced methodology
+    as the headline, cell strategy with the setup-time occupancy probe."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.systems import get_system
+    from torchmdnet_tpu.data.batch import pad_molecules
+    from torchmdnet_tpu.models.potential import create_model
+    from torchmdnet_tpu.ops.cell_list import (
+        suggest_cell_capacity,
+        suggest_max_cells,
+    )
+    from torchmdnet_tpu.profiling import device_ms_per_iter
+
+    z, pos, _src = get_system("stmv")
+    n = len(z)
+    batch = pad_molecules([{"z": z, "pos": pos}], num_atoms=(n + 7) // 8 * 8, num_mol=1)
+    args = dict(
+        model="graph-network", embedding_dimension=128, num_layers=6,
+        num_rbf=50, rbf_type="expnorm", trainable_rbf=True, activation="silu",
+        neighbor_embedding=True, cutoff_lower=0.0, cutoff_upper=5.0,
+        max_z=100, max_num_neighbors=32, derivative=False,
+        output_model="Scalar", prior_model=None, reduce_op="add",
+        precision=32, atom_filter=-1, aggr="add", bf16_messages=True,
+    )
+    model = create_model(args)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    cap = suggest_cell_capacity(
+        batch.pos, batch.atom_mask, cutoff_upper=5.0, headroom=1.1
+    )
+    # STMV is a solvated capsid: mean occupancy 6.7 < the N//8 default's
+    # assumed 8, so the occupied-cell count must be probed too
+    mc = suggest_max_cells(batch.pos, batch.atom_mask, cutoff_upper=5.0)
+    _pre = model.neighbors(batch, cell_capacity=cap, max_cells=mc)
+    if _pre.cell_overflow is not None and bool(np.asarray(_pre.cell_overflow)):
+        raise ValueError("bench.py stmv: probed cell capacities overflowed")
+
+    def step(carry, eps):
+        p, acc = carry
+        b = batch.replace(pos=p)
+        nbl = model.neighbors(b, cell_capacity=cap, max_cells=mc)
+        s = model.energy(params, b, nbl=nbl).sum()
+        return (p + eps * s, acc + s)
+
+    return device_ms_per_iter(
+        step, (batch.pos, jnp.float32(0.0)), k_lo=2, k_hi=8, reps=2
+    )
 
 
 def fused_forces_ms(model_name, z, pos, plan_rows, plan_width, fused=True):

@@ -44,6 +44,8 @@ def main():
                     help="0 = auto (16 * 32/plan_rows)")
     ap.add_argument("--fused-attention", action="store_true",
                     help="fused Pallas edge kernel (ET/tensornet; implies --gather-plan)")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a device trace of one chunk and print the top fusions")
     args = ap.parse_args()
     if args.fused_attention:
         args.gather_plan = True
@@ -86,6 +88,17 @@ def main():
             headroom=1.3,
         )
         print(f"# probed cell_capacity: {args.cell_capacity}")
+    if not args.max_cells:
+        from torchmdnet_tpu.ops.cell_list import suggest_max_cells
+
+        # sparse/hollow systems (solvated STMV at cutoff 5: 4547 occupied
+        # cells, mean occupancy 6.7) violate the N//8 default's assumption
+        args.max_cells = suggest_max_cells(
+            batch.pos,
+            batch.atom_mask,
+            cutoff_upper=margs["cutoff_upper"] + args.skin,
+        )
+        print(f"# probed max_cells: {args.max_cells}")
 
     sim = Simulation(
         model,
@@ -126,6 +139,15 @@ def main():
         f"{ms:.1f} ms/step ({ns_day:.2f} ns/day at {args.timestep_fs} fs), "
         f"energy={e:.3f}, stale={stale}"
     )
+
+    if args.trace:
+        from torchmdnet_tpu.profiling import trace, trace_summary
+
+        log_dir = "/tmp/bench_md_trace"
+        with trace(log_dir):
+            sim.step(args.rebuild_every)
+            float(np.asarray(sim.state.energy.ravel()[0]))
+        trace_summary(log_dir, top=30, iters=args.rebuild_every)
 
 
 if __name__ == "__main__":

@@ -32,15 +32,21 @@ def bench_strategy(strategy, n, k, cutoff):
     maskj = jnp.asarray(np.arange(npad) < n)
     bv = jnp.zeros((npad,), jnp.int32)
 
-    from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+    from torchmdnet_tpu.ops.cell_list import (
+        suggest_cell_capacity,
+        suggest_max_cells,
+    )
 
     # headroom > 1.0 + loud pre-timing check: the timed scan drifts
     # positions, and an exact-capacity probe can overflow mid-scan silently.
+    # max_cells is probed too (sparse/hollow systems like solvated STMV
+    # violate the N//8 default's occupancy assumption).
     cap = suggest_cell_capacity(posp[:n], cutoff_upper=cutoff, headroom=1.1)
+    mc = suggest_max_cells(posp[:n], cutoff_upper=cutoff)
     # cell_overflow ONLY (k-truncation is part of the measured contract)
     _pre = neighbor_list(
         posj, bv, maskj, k=k, cutoff_upper=cutoff, strategy="cell",
-        cell_capacity=cap,
+        cell_capacity=cap, max_cells=mc,
     )
     if _pre.cell_overflow is not None and bool(np.asarray(_pre.cell_overflow)):
         raise ValueError("benchmarks/neighbors.py: probed capacity overflowed")
@@ -56,7 +62,7 @@ def bench_strategy(strategy, n, k, cutoff):
             # scan drift, pre-checked above), selection-kernel compaction
             nbl = neighbor_list(
                 p, bv, maskj, k=k, cutoff_upper=cutoff, strategy=strategy,
-                cell_capacity=cap,
+                cell_capacity=cap, max_cells=mc,
             )
         else:
             nbl = neighbor_list(

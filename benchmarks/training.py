@@ -111,7 +111,8 @@ def main():
         ema_alpha_neg_dy=1.0,
         y_weight=1.0,
         neg_dy_weight=1.0 if args.forces else 0.0,
-        fused_attention=args.fused_attention and args.model == "equivariant-transformer",
+        fused_attention=args.fused_attention
+        and args.model in ("equivariant-transformer", "transformer"),
         fused_message=args.fused_attention and args.model == "tensornet",
         plan_width=args.plan_width,
         plan_block_rows=args.plan_rows,

@@ -236,3 +236,32 @@ def test_suggest_cell_capacity_probe_box(side, cutoff, n):
     )
     np.testing.assert_array_equal(np.asarray(nbl.idx), np.asarray(ref.idx))
     np.testing.assert_array_equal(np.asarray(nbl.mask), np.asarray(ref.mask))
+
+
+def test_suggest_max_cells_probe():
+    """Sparse/hollow systems (mean occupancy < 8) violate the N//8 default's
+    assumption; the probe sizes max_cells from the OCCUPIED cell count so
+    the build does not rank-overflow (found on solvated STMV, r4)."""
+    from torchmdnet_tpu.ops.cell_list import suggest_max_cells
+
+    rng = np.random.default_rng(5)
+    # hollow shell: ~4 atoms per occupied cell at cutoff 5
+    n = 4096
+    r = 40.0 + rng.uniform(0, 5.0, n)
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = (r[:, None] * v).astype(np.float32)
+    mc = suggest_max_cells(pos, cutoff_upper=5.0)
+    assert mc % 8 == 0
+    # default N//8 = 512 would overflow; the probe must exceed it
+    assert mc > n // 8
+    nbl = neighbor_list_cell(
+        jnp.asarray(pos), k=64, cutoff_upper=5.0, cell_capacity=16,
+        max_cells=mc,
+    )
+    assert not bool(nbl.cell_overflow)
+    # and the undersized default must trip the loud flag
+    nbl_bad = neighbor_list_cell(
+        jnp.asarray(pos), k=64, cutoff_upper=5.0, cell_capacity=16,
+    )
+    assert bool(nbl_bad.cell_overflow)

@@ -88,7 +88,9 @@ class External:
 
         # pos is NOT donated: MD engines often pass buffers they still hold
         # (donation would invalidate them); the saving is one (N, 3) array.
-        @jax.jit
+        from torchmdnet_tpu.ops.pallas import jit_vmem_retry
+
+        @jit_vmem_retry
         def _step(params, pos, box):
             batch = self._template.replace(pos=pos)
             y, neg_dy = self.model.energy_and_forces(

@@ -115,6 +115,7 @@ class Simulation:
         neighbor_kwargs = dict(neighbor_kwargs or {})
         from torchmdnet_tpu.ops.cell_list import (
             suggest_cell_capacity,
+            suggest_max_cells,
             wants_cell_probe,
         )
 
@@ -129,6 +130,15 @@ class Simulation:
                 cutoff_upper=hi + self.skin,
                 box=box,
                 headroom=1.3,
+            )
+            neighbor_kwargs.setdefault(
+                "max_cells",
+                suggest_max_cells(
+                    batch.pos,
+                    batch.atom_mask,
+                    cutoff_upper=hi + self.skin,
+                    box=box,
+                ),
             )
 
         self.ring = None
@@ -152,6 +162,10 @@ class Simulation:
             )
             batch = shard_batch_by_atoms(batch, mesh)
             self.batch = batch
+
+        # default compile first; raised scoped-VMEM limit only on overflow
+        # (ops/pallas.jit_vmem_retry)
+        from torchmdnet_tpu.ops.pallas import jit_vmem_retry
 
         def forces(pos, nbl=None):
             y, neg_dy = model.energy_and_forces(
@@ -177,7 +191,7 @@ class Simulation:
             vel = jnp.where(atom_mask3, vel, 0.0)
             return (pos, vel, f2, key), y2
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        @partial(jit_vmem_retry, static_argnames=("n",), donate_argnums=(0,))
         def run(state, n):
             _, f0 = forces(state.pos)
             (pos, vel, _, key), ys = jax.lax.scan(
@@ -204,7 +218,7 @@ class Simulation:
                 **(neighbor_kwargs or {}),
             )
 
-        @partial(jax.jit, static_argnames=("chunk",), donate_argnums=(0,))
+        @partial(jit_vmem_retry, static_argnames=("chunk",), donate_argnums=(0,))
         def run_chunk(state, nbl, chunk):
             pos0 = state.pos  # rebuild reference (the list was built here)
             _, f = forces(state.pos, nbl.refine(state.pos, lo, hi, box))
@@ -268,7 +282,7 @@ class Simulation:
                 vel = jnp.where(atom_mask3, vel, 0.0)
                 return (pos, vel, f2, key), y2
 
-            @partial(jax.jit, static_argnames=("chunk",), donate_argnums=(0,))
+            @partial(jit_vmem_retry, static_argnames=("chunk",), donate_argnums=(0,))
             def run_chunk_ring(state, ctx, chunk):
                 pos0 = state.pos
                 _, f = forces_ring(state.pos, ctx)

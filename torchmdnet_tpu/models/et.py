@@ -76,6 +76,10 @@ class EquivariantMultiHeadAttention(nn.Module):
     cutoff_upper: float
     bf16_messages: bool = False
     fused_attention: bool = False
+    # under nn.remat: tag the fused outputs for the save-list policy (the
+    # checkpoint_name barrier is pure overhead outside remat — measured ~8%
+    # on the non-remat fused force eval)
+    tag_remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -233,6 +237,17 @@ class EquivariantMultiHeadAttention(nn.Module):
                 wdv.astype(bf),
                 bdv.astype(bf).reshape(1, -1),
             )
+            if self.tag_remat:
+                # Under remat, save the kernel outputs (policy in
+                # TorchMD_ET): the bwd kernel recomputes its chunks
+                # internally, so re-running the 60 ms fwd kernel during the
+                # layer's backward only serves to rebuild these two
+                # (N, H)/(N, 3H) aggregates — measured 21% of the ET STMV
+                # MD step (PERF.md r4 trace).
+                from jax.ad_checkpoint import checkpoint_name
+
+                x_agg = checkpoint_name(x_agg, "fused_edge_agg")
+                vec_cat = checkpoint_name(vec_cat, "fused_edge_agg")
             acc_dtype = x.dtype
             x_agg = x_agg.astype(acc_dtype)
             vec_agg = [
@@ -388,11 +403,19 @@ class TorchMD_ET(nn.Module):
         zero = jnp.zeros((x.shape[0], self.hidden_channels), dtype=x.dtype)
         vec = (zero, zero, zero)  # xyz components, each (N, H)
 
-        layer_cls = (
-            nn.remat(EquivariantMultiHeadAttention)
-            if self.remat
-            else EquivariantMultiHeadAttention
-        )
+        if self.remat:
+            # save-list remat: everything recomputes EXCEPT the fused edge
+            # kernel's aggregates — the backward kernel rebuilds its own
+            # internals, so re-running the fwd kernel in the backward pass
+            # is pure waste (21% of the fused STMV MD step; PERF.md r4)
+            layer_cls = nn.remat(
+                EquivariantMultiHeadAttention,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "fused_edge_agg"
+                ),
+            )
+        else:
+            layer_cls = EquivariantMultiHeadAttention
         for li in range(self.num_layers):
             # explicit name keeps the param tree identical with/without remat
             dx, dvec = layer_cls(
@@ -406,6 +429,7 @@ class TorchMD_ET(nn.Module):
                 self.cutoff_upper,
                 bf16_messages=self.bf16_messages,
                 fused_attention=self.fused_attention,
+                tag_remat=self.remat,
                 dtype=self.dtype,
                 name=f"EquivariantMultiHeadAttention_{li}",
             )(x, vec, nbl, dist, edge_attr, edge_dir)

@@ -265,6 +265,7 @@ def create_representation(args: Dict[str, Any], dtype=None) -> nn.Module:
             num_heads=args.get("num_heads", 8),
             distance_influence=args.get("distance_influence", "both"),
             neighbor_embedding=args.get("neighbor_embedding", False),
+            fused_attention=args.get("fused_attention", False),
             **shared,
         )
     if name == "equivariant-transformer":

@@ -29,6 +29,7 @@ edge_geometry's delta.
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from torchmdnet_tpu.models.blocks import (
@@ -285,6 +286,7 @@ class Interaction(nn.Module):
     # gather plan + bf16_messages; differentiable at every order (force
     # training runs a composable second-order rule for the outer pass)
     fused_message: bool = False
+    tag_remat: bool = False  # tag fused output for save-list remat (et.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -405,6 +407,10 @@ class Interaction(nn.Module):
                 w2.astype(bf), b2.astype(bf).reshape(1, -1),
                 w3.astype(bf), b3.astype(bf).reshape(1, -1),
             )
+            if self.tag_remat:
+                from jax.ad_checkpoint import checkpoint_name
+
+                m = checkpoint_name(m, "fused_edge_agg")
             m_l, m_a0, m_a1, m_a2, m_s00, m_s11, m_s01, m_s02, m_s12 = (
                 m[:, i * h : (i + 1) * h].astype(acc_dtype) for i in range(9)
             )
@@ -520,7 +526,18 @@ class TensorNet(nn.Module):
             name="TensorEmbedding_0",
         )(z, nbl, dist, edge_dir, edge_attr)
 
-        layer_cls = nn.remat(Interaction) if self.remat else Interaction
+        if self.remat:
+            # save the fused message kernel's output under remat (see
+            # models/et.py: the bwd kernel recomputes internally, so the fwd
+            # kernel need not re-run in the backward pass)
+            layer_cls = nn.remat(
+                Interaction,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "fused_edge_agg"
+                ),
+            )
+        else:
+            layer_cls = Interaction
         for li in range(self.num_layers):
             # explicit name keeps the param tree identical with/without remat
             x = layer_cls(
@@ -532,6 +549,7 @@ class TensorNet(nn.Module):
                 self.equivariance_invariance_group,
                 bf16_messages=self.bf16_messages,
                 fused_message=self.fused_message,
+                tag_remat=self.remat,
                 dtype=self.dtype,
                 name=f"Interaction_{li}",
             )(x, nbl, dist, edge_attr)

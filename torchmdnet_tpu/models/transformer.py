@@ -10,10 +10,17 @@ activations, over the dense ELL neighbor format.  Self-loops included
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchmdnet_tpu.models.blocks import Embedding, LayerNorm, NeighborEmbedding, XavierDense
+from torchmdnet_tpu.models.blocks import (
+    DenseParams,
+    Embedding,
+    LayerNorm,
+    NeighborEmbedding,
+    XavierDense,
+)
 from torchmdnet_tpu.ops.activations import act_fn_mapping
 from torchmdnet_tpu.ops.cutoff import cosine_cutoff
 from torchmdnet_tpu.ops.neighbors import (
@@ -37,6 +44,8 @@ class MultiHeadAttention(nn.Module):
     cutoff_lower: float
     cutoff_upper: float
     bf16_messages: bool = False
+    fused_attention: bool = False  # fused Pallas edge kernel (t_message.py)
+    tag_remat: bool = False  # tag fused output for save-list remat (et.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -57,6 +66,105 @@ class MultiHeadAttention(nn.Module):
         q = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
         k = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
         v = XavierDense(h, dtype=self.dtype)(x)  # (N, H)
+
+        use_fused = False
+        if self.fused_attention and not self.is_initializing():
+            from torchmdnet_tpu.ops.pallas import fused_kernel_mode
+
+            mode = fused_kernel_mode()
+            if mode is not None:
+                # kernel-capable platform: missing preconditions are a loud
+                # configuration error, not a silent fallback (see et.py)
+                if nbl.gather_plan is None:
+                    raise ValueError(
+                        "fused_attention=True but the neighbor list has no "
+                        "gather plan. Build it via Potential.neighbors(batch, "
+                        "gather_plan=True) on a spatially sorted batch and "
+                        "pass it into apply/energy_and_forces (the trainer "
+                        "and RingExecutor do this when --fused-attention is "
+                        "set)."
+                    )
+                if not self.bf16_messages:
+                    raise ValueError(
+                        "fused_attention=True requires bf16_messages=True."
+                    )
+                if h % 128 != 0:
+                    raise ValueError(
+                        f"fused_attention=True requires hidden_channels "
+                        f"divisible by 128 (the MXU lane width); got {h}."
+                    )
+                use_fused = True
+        if use_fused:
+            from torchmdnet_tpu.ops.pallas.t_message import (
+                FusedTConfig,
+                fused_t_messages,
+            )
+
+            # pin the composable branch's Dense auto-names (q/k/v took 0-2)
+            di = 3
+            has_dk = self.distance_influence in ("keys", "both")
+            has_dv = self.distance_influence in ("values", "both")
+            if has_dk:
+                wdk, bdk = DenseParams(h, self.num_rbf, name=f"Dense_{di}")()
+                di += 1
+            else:
+                wdk = jnp.zeros((self.num_rbf, h), jnp.float32)
+                bdk = jnp.zeros((h,), jnp.float32)
+            if has_dv:
+                wdv, bdv = DenseParams(h, self.num_rbf, name=f"Dense_{di}")()
+                di += 1
+            else:
+                wdv = jnp.zeros((self.num_rbf, h), jnp.float32)
+                bdv = jnp.zeros((h,), jnp.float32)
+            o_name = f"Dense_{di}"
+
+            ring_kwargs = {}
+            from torchmdnet_tpu.parallel.context import ring_info
+
+            rinfo = ring_info()
+            if rinfo is not None:
+                if nbl.gather_plan.ring is None:
+                    raise ValueError(
+                        "fused_attention under ring edge-partitioning needs "
+                        "a gather plan carrying ring boundary schedules "
+                        "(BlockGatherPlan.ring); build it through "
+                        "RingExecutor (parallel/edge_partition.py)."
+                    )
+                ring_kwargs = dict(ring_axis=rinfo.axis, ring_d=rinfo.n_shards)
+            bf = jnp.bfloat16
+            cutm = (
+                cosine_cutoff(dist, self.cutoff_lower, self.cutoff_upper)
+                * nbl.mask
+            ).astype(jnp.float32)
+            cfg = FusedTConfig(
+                h=h,
+                heads=heads,
+                act=self.activation,
+                attn_act=self.attn_activation,
+                has_dk=has_dk,
+                has_dv=has_dv,
+                interpret=mode == "interpret",
+                kc=max(2, 128 // nbl.gather_plan.block_rows),
+                **ring_kwargs,
+            )
+            out = fused_t_messages(
+                cfg,
+                nbl.gather_plan,
+                q.astype(bf),
+                k.astype(bf),
+                v.astype(bf),
+                edge_attr.astype(bf),
+                cutm,
+                wdk.astype(bf),
+                bdk.astype(bf).reshape(1, -1),
+                wdv.astype(bf),
+                bdv.astype(bf).reshape(1, -1),
+            ).astype(acc_dtype)
+            if self.tag_remat:
+                from jax.ad_checkpoint import checkpoint_name
+
+                out = checkpoint_name(out, "fused_edge_agg")
+            return XavierDense(h, dtype=self.dtype, name=o_name)(out)
 
         # TPU layout: keep every per-edge tensor (..., H)-trailing; per-head
         # attention sums via one block-of-ones matmul (see et.py for the
@@ -110,6 +218,9 @@ class TorchMD_T(nn.Module):
     max_num_neighbors: int = 32
     remat: bool = False  # see graph_network.TorchMD_GN.remat
     bf16_messages: bool = False  # bf16 edge intermediates, f32 accumulation
+    # Route the edge phase through the fused Pallas kernel (requires
+    # bf16_messages + a gather plan; see ops/pallas/t_message.py).
+    fused_attention: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -154,7 +265,16 @@ class TorchMD_T(nn.Module):
                 name="NeighborEmbedding_0",
             )(z, x, nbl, dist, edge_attr)
 
-        layer_cls = nn.remat(MultiHeadAttention) if self.remat else MultiHeadAttention
+        if self.remat:
+            # save the fused kernel's aggregate under remat (see models/et.py)
+            layer_cls = nn.remat(
+                MultiHeadAttention,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "fused_edge_agg"
+                ),
+            )
+        else:
+            layer_cls = MultiHeadAttention
         for li in range(self.num_layers):
             # explicit name keeps the param tree identical with/without remat
             x = x + layer_cls(
@@ -167,6 +287,8 @@ class TorchMD_T(nn.Module):
                 self.cutoff_lower,
                 self.cutoff_upper,
                 bf16_messages=self.bf16_messages,
+                fused_attention=self.fused_attention,
+                tag_remat=self.remat,
                 dtype=self.dtype,
                 name=f"MultiHeadAttention_{li}",
             )(x, nbl, dist, edge_attr)

@@ -501,6 +501,44 @@ def suggest_cell_capacity(
     return max(int(floor), int(np.ceil(occ * float(headroom))))
 
 
+def suggest_max_cells(
+    pos,
+    atom_mask=None,
+    *,
+    cutoff_upper: float,
+    box=None,
+    headroom: float = 1.2,
+) -> int:
+    """Setup-time probe: tight static ``max_cells`` for these positions.
+
+    The strategy default (N//8) assumes mean occupancy >= 8, which sparse or
+    hollow systems (solvated capsids, low-density shells — STMV measures
+    6.7 atoms/cell at cutoff 5) violate, tripping rank_overflow.  Same
+    binning as :func:`suggest_cell_capacity`; returns the OCCUPIED cell
+    count with drift headroom (rounded like the strategy, multiples of 8).
+    """
+    import numpy as np
+
+    p = np.asarray(pos)
+    if p.dtype != np.float64:
+        p = p.astype(np.float32)
+    if atom_mask is not None:
+        p = p[np.asarray(atom_mask)]
+    cut = p.dtype.type(cutoff_upper)
+    if box is not None:
+        diag = np.diagonal(np.asarray(box)).astype(p.dtype)
+        p = p - np.floor(p / diag) * diag
+        ext = np.maximum(np.floor(diag / cut).astype(np.int64), 1)
+        cc = np.clip(np.floor(p / cut).astype(np.int64), 0, ext - 1)
+    else:
+        p = p - p.min(axis=0)
+        cc = np.floor(p / cut).astype(np.int64)
+        ext = cc.max(axis=0) + 1
+    key = (cc[:, 0] * ext[1] + cc[:, 1]) * ext[2] + cc[:, 2]
+    occupied = int(np.unique(key).size) if key.size else 1
+    return -(-max(256, int(np.ceil(occupied * float(headroom)))) // 8) * 8
+
+
 def neighbor_list_cell(
     pos,
     batch=None,

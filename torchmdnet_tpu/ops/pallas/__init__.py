@@ -12,6 +12,66 @@ must never be a silent fallback on GPU/CPU.
 import os
 
 
+def fused_jit_options() -> dict:
+    """Compiler options that raise the TPU scoped-VMEM limit.
+
+    XLA's buffer assignment sometimes stacks a fused kernel's output in
+    scoped VMEM right next to the kernel's own ~16 MB working set, blowing
+    the default 16 MB scoped limit ("Ran out of memory in memory space vmem
+    while allocating on stack").  Raising the limit through per-jit
+    compiler_options works even through the remote-compile tunnel (the
+    option rides the compile request; client-side XLA_FLAGS cannot carry
+    TPU-only flags).  Empty off-TPU (the option is unknown to CPU/GPU
+    compilers).
+
+    IMPORTANT: do not apply unconditionally — a raised limit changes buffer
+    assignment for programs that FIT the default and measurably slows them
+    (GN DHFR forward 2.83 -> 3.1 ms, fused ET forces 38.6 -> 49.9 ms).
+    Use :func:`jit_vmem_retry`, which pays the raise only when the default
+    compile actually overflows.
+    """
+    if fused_kernel_mode() == "compiled":
+        # observed stacked needs up to ~34 MB (ET bwd at W=640 + outputs);
+        # 48 MB verified running on the v5e (a 64 MB probe executed fine)
+        return {
+            "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "49152"}
+        }
+    return {}
+
+
+def jit_vmem_retry(fn, **jit_kwargs):
+    """jax.jit that retries compilation with a raised scoped-VMEM limit.
+
+    Compiles at the platform default first (best buffer assignment); if the
+    compile fails with a scoped-vmem stack overflow — which some fused
+    kernel + autodiff compositions trigger (see fused_jit_options) — the
+    call transparently recompiles with the raised limit and proceeds.
+    Donated buffers are safe: compile errors surface before execution, so
+    the retry sees live arguments.
+    """
+    import jax
+
+    base = jax.jit(fn, **jit_kwargs)
+    state = {"fallback": None}
+
+    def call(*args, **kwargs):
+        if state["fallback"] is not None:
+            return state["fallback"](*args, **kwargs)
+        try:
+            return base(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 - filtered by message below
+            msg = str(e)
+            if "vmem" not in msg.lower() or "limit" not in msg.lower():
+                raise
+            opts = fused_jit_options()
+            if not opts:
+                raise
+            state["fallback"] = jax.jit(fn, **jit_kwargs, **opts)
+            return state["fallback"](*args, **kwargs)
+
+    return call
+
+
 def fused_kernel_mode():
     """How the fused Pallas kernels may execute on this platform.
 

@@ -75,6 +75,7 @@ class OptimizedPotential:
         neighbor_kwargs = dict(neighbor_kwargs or {})
         from torchmdnet_tpu.ops.cell_list import (
             suggest_cell_capacity,
+            suggest_max_cells,
             wants_cell_probe,
         )
 
@@ -90,7 +91,17 @@ class OptimizedPotential:
                 box=box,
                 headroom=1.3,
             )
+            neighbor_kwargs.setdefault(
+                "max_cells",
+                suggest_max_cells(
+                    example.pos,
+                    example.atom_mask,
+                    cutoff_upper=hi + self.skin,
+                    box=box,
+                ),
+            )
 
+        from torchmdnet_tpu.ops.pallas import jit_vmem_retry
         if self.split:
             # neighbor_kwargs forwards strategy/capacity/gather_plan options
             # (gather_plan=True + spatially sorted atoms routes gathers
@@ -103,7 +114,7 @@ class OptimizedPotential:
                 )
             )
 
-            @jax.jit
+            @jit_vmem_retry
             def refine_step(params, pos, ref_pos, nbl, stale):
                 nbl_r = nbl.refine(pos, lo, hi, box)
                 drift2 = jnp.max(
@@ -129,7 +140,7 @@ class OptimizedPotential:
 
             self._refine_step = refine_step
 
-            @jax.jit
+            @jit_vmem_retry
             def step(params, pos, nbl):
                 return model.energy_and_forces(
                     params, example.replace(pos=pos), box=box, nbl=nbl
@@ -140,7 +151,7 @@ class OptimizedPotential:
             # NOTE: pos is deliberately NOT donated — callers routinely pass
             # a buffer they still hold (donation would delete it under them),
             # and the allocation it saves is one (N, 3) array.
-            @jax.jit
+            @jit_vmem_retry
             def step(params, pos):
                 return model.energy_and_forces(
                     params, example.replace(pos=pos), box=box

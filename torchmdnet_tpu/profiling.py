@@ -101,7 +101,11 @@ def device_ms_per_iter(
 
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("k",))
+    from torchmdnet_tpu.ops.pallas import jit_vmem_retry
+
+    # default compile first, raised scoped-VMEM limit only on overflow
+    # (an unconditional raise slows programs that fit — PERF.md r4)
+    @partial(jit_vmem_retry, static_argnames=("k",))
     def loop(carry, eps, k):
         carry, _ = jax.lax.scan(
             lambda c, _: (step_fn(c, eps), None), carry, None, length=k

@@ -88,6 +88,7 @@ class Trainer:
             self.h.get("fused_attention") or self.h.get("fused_message")
         )
         self._cell_capacity = None  # probed from batch0 at fit() setup
+        self._max_cells = None  # probed alongside (sparse/hollow systems)
         # --edge-partition: train with the batch's ATOM rows sharded over the
         # mesh (ring schedule, O(N/D) per-device memory) instead of data
         # parallelism over molecules.  The executor is sized from the first
@@ -124,26 +125,20 @@ class Trainer:
             )
         )
         self.optimizer = optax.chain(*tx)
-        # Fused kernels + jvp-mode force gradients: XLA sometimes stacks a
-        # kernel output in scoped VMEM next to the kernel's own ~16 MB
-        # working set; raise the scoped limit for the training executables
-        # (TPU-only option — rides the compile request, so it works through
-        # the remote-compile tunnel where client XLA_FLAGS cannot).
-        jit_kwargs = {}
-        from torchmdnet_tpu.ops.pallas import fused_kernel_mode
+        # jit_vmem_retry: compiles at the platform default; if a fused
+        # kernel + autodiff composition overflows the 16 MB scoped-VMEM
+        # stack (some do on the current compile environment), the call
+        # transparently recompiles with a raised limit.
+        from torchmdnet_tpu.ops.pallas import jit_vmem_retry
 
-        if self._fused and fused_kernel_mode() == "compiled":
-            jit_kwargs["compiler_options"] = {
-                "xla_tpu_scoped_vmem_limit_kib": "24576"
-            }
-        self._train_step = jax.jit(
-            self._train_step_impl, donate_argnums=(0, 1, 2), **jit_kwargs
+        self._train_step = jit_vmem_retry(
+            self._train_step_impl, donate_argnums=(0, 1, 2)
         )
-        self._train_step_multi = jax.jit(
-            self._train_step_multi_impl, donate_argnums=(0, 1, 2), **jit_kwargs
+        self._train_step_multi = jit_vmem_retry(
+            self._train_step_multi_impl, donate_argnums=(0, 1, 2)
         )
-        self._eval_step = jax.jit(self._eval_step_impl, **jit_kwargs)
-        self._eval_step_multi = jax.jit(self._eval_step_multi_impl, **jit_kwargs)
+        self._eval_step = jit_vmem_retry(self._eval_step_impl)
+        self._eval_step_multi = jit_vmem_retry(self._eval_step_multi_impl)
 
     # --- core steps -------------------------------------------------------
 
@@ -213,16 +208,17 @@ class Trainer:
         The duplicate prior-list builds here and inside apply are fused away
         by XLA CSE (identical pure computations).
         """
+        cell_kwargs = {}
+        if self._cell_capacity:
+            cell_kwargs["cell_capacity"] = self._cell_capacity
+        if self._max_cells:
+            cell_kwargs["max_cells"] = self._max_cells
         nbl = self.model.neighbors(
             batch,
             gather_plan=self._fused,
             plan_block_rows=int(self.h.get("plan_block_rows", 32) or 32),
             plan_width=int(self.h.get("plan_width", 512) or 512),
-            **(
-                {"cell_capacity": self._cell_capacity}
-                if self._cell_capacity
-                else {}
-            ),
+            **cell_kwargs,
         )
         flags = [nbl.overflow()]
         if nbl.cell_overflow is not None:
@@ -532,6 +528,7 @@ class Trainer:
         # contract as every other static capacity here).
         from torchmdnet_tpu.ops.cell_list import (
             suggest_cell_capacity,
+            suggest_max_cells,
             wants_cell_probe,
         )
 
@@ -541,6 +538,11 @@ class Trainer:
                 batch0.atom_mask,
                 cutoff_upper=h.get("cutoff_upper", 5.0),
                 headroom=1.3,
+            )
+            self._max_cells = suggest_max_cells(
+                batch0.pos,
+                batch0.atom_mask,
+                cutoff_upper=h.get("cutoff_upper", 5.0),
             )
         for prior in self.model.module.priors:
             prior.check_neighbor_capacity(batch0, "the first training batch")
