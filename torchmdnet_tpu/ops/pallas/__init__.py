@@ -39,6 +39,18 @@ def fused_jit_options() -> dict:
     return {}
 
 
+def fused_jit_options_high() -> dict:
+    """Second retry rung: the TN second-order kernel's stacked outputs + the
+    nested-autodiff working set demand ~74 MB at DHFR (W=384); the v5e's
+    128 MB physical VMEM accommodates it when nothing else contends.  Only
+    ever applied after BOTH the default and the 48 MB compile overflowed."""
+    if fused_kernel_mode() == "compiled":
+        return {
+            "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+        }
+    return {}
+
+
 def jit_vmem_retry(fn, **jit_kwargs):
     """jax.jit that retries compilation with a raised scoped-VMEM limit.
 
@@ -63,11 +75,21 @@ def jit_vmem_retry(fn, **jit_kwargs):
             msg = str(e)
             if "vmem" not in msg.lower() or "limit" not in msg.lower():
                 raise
-            opts = fused_jit_options()
-            if not opts:
-                raise
-            state["fallback"] = jax.jit(fn, **jit_kwargs, **opts)
-            return state["fallback"](*args, **kwargs)
+            for opts_fn in (fused_jit_options, fused_jit_options_high):
+                opts = opts_fn()
+                if not opts:
+                    raise
+                cand = jax.jit(fn, **jit_kwargs, **opts)
+                try:
+                    out = cand(*args, **kwargs)
+                except Exception as e2:  # noqa: BLE001
+                    msg2 = str(e2)
+                    if "vmem" not in msg2.lower() or "limit" not in msg2.lower():
+                        raise
+                    continue
+                state["fallback"] = cand
+                return out
+            raise
 
     return call
 

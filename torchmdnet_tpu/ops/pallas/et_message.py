@@ -612,6 +612,307 @@ def _inverse_scatter(dxw, plan: BlockGatherPlan):
 
 
 # --------------------------------------------------------------------------
+# second-order kernel: VJP of the backward kernel (force-loss training's
+# outer pass), derived by nested autodiff over the chunk forward
+# --------------------------------------------------------------------------
+
+
+def _chunk_fwd_fn(cfg, oh, ones, r, kn, h):
+    """The per-chunk forward as a pure function of its differentiable args —
+    the exact math twin of one `_fwd_kernel` chunk iteration (same bf16
+    compute / f32 accumulate discipline).  `oh` (the chunk's one-hot gather
+    matrix) and `ones` are closed over as non-differentiable constants.
+
+    Used only by the second-order kernel below: instead of hand-deriving the
+    VJP-of-VJP, the kernel body applies jax.vjp/jax.grad to THIS function —
+    nested autodiff traces to plain jaxpr inside the Pallas kernel, so the
+    whole second-order computation stays in VMEM per chunk.
+
+    Mosaic constraint that shapes this function: NO slice or concatenate on
+    any value in the differentiated path — the double transpose turns
+    slices into `lax.pad` ops Mosaic cannot lower ("vector types must have
+    positive constant sizes").  So every packed operand (`xw`, `wdv`,
+    `bdv`, the vector cotangent) arrives pre-split into per-component
+    arrays (split in the kernel BODY, outside autodiff) and the outputs
+    return separately instead of concatenated."""
+    rc = r * kn
+
+    def fwd(xk, xva, xvb, xvc, xv0, xv1, xv2, q, ea2, cutm_c, msk_c,
+            d0_c, d1_c, d2_c, wdk, bdk, wdva, wdvb, wdvc, bdva, bdvb, bdvc):
+        bf = xk.dtype
+        dk3 = None
+        if cfg.has_dk:
+            pre = jax.lax.dot(ea2, wdk, preferred_element_type=jnp.float32)
+            dk3 = _act_v(cfg.act, pre.astype(bf) + bdk).reshape(r, kn, h)
+        dva3 = dvb3 = dvc3 = None
+        if cfg.has_dv:
+            parts = []
+            for wv, bv in ((wdva, bdva), (wdvb, bdvb), (wdvc, bdvc)):
+                pre = jax.lax.dot(ea2, wv, preferred_element_type=jnp.float32)
+                parts.append(_act_v(cfg.act, pre.astype(bf) + bv).reshape(r, kn, h))
+            dva3, dvb3, dvc3 = parts
+        gat = lambda t: jax.lax.dot(
+            oh, t, preferred_element_type=jnp.float32
+        ).astype(bf).reshape(r, kn, h)
+        prod3 = q[:, None, :] * gat(xk)
+        if dk3 is not None:
+            prod3 = prod3 * dk3
+        pre_a = jax.lax.dot(
+            prod3.reshape(rc, h), ones, preferred_element_type=jnp.float32
+        ).astype(bf)
+        attn3 = (
+            _act_v(cfg.attn_act, pre_a.reshape(r, kn, h))
+            * cutm_c[:, :, None].astype(bf)
+        )
+        x_m3 = gat(xva)
+        vm1_3 = gat(xvb)
+        vw2_3 = gat(xvc)
+        if dva3 is not None:
+            x_m3 = x_m3 * dva3
+            vm1_3 = vm1_3 * dvb3
+            vw2_3 = vw2_3 * dvc3
+        x_part = (x_m3 * attn3).astype(jnp.float32).sum(axis=1)
+        vm1_3 = vm1_3 * msk_c[:, :, None].astype(bf)
+        vec_parts = []
+        for xv_c, dc in ((xv0, d0_c), (xv1, d1_c), (xv2, d2_c)):
+            msg3 = gat(xv_c) * vm1_3 + vw2_3 * dc[:, :, None].astype(bf)
+            vec_parts.append(msg3.astype(jnp.float32).sum(axis=1))
+        return x_part, vec_parts[0], vec_parts[1], vec_parts[2]
+
+    return fwd
+
+
+def _bwd2_kernel(
+    local_ref, xw_ref, q_ref, ea_ref, cutm_ref, msk_ref,
+    d0_ref, d1_ref, d2_ref,
+    wdk_ref, bdk_ref, wdv_ref, bdv_ref, ones_ref,
+    ct_x_ref, ct_vec_ref,
+    zq_ref, zxw_ref, zea_ref, zcutm_ref, zd0_ref, zd1_ref, zd2_ref,
+    zwdk_ref, zbdk_ref, zwdv_ref, zbdv_ref,
+    gq_ref, gea_ref, gcutm_ref, gmsk_ref, gd0_ref, gd1_ref, gd2_ref,
+    gxw_ref, gwdk_ref, gbdk_ref, gwdv_ref, gbdv_ref,
+    gctx_ref, gctvec_ref,
+    *, w, kc, h, act, attn_act, has_dk, has_dv,
+):
+    """Fused VJP-of-VJP: given the backward kernel's inputs plus output
+    cotangents Z (one per input-cotangent slot), emit gradients wrt every
+    primal input AND wrt (ct_x, ct_vec) — the two halves of
+    d<bwd(x, ct), Z>/d(x, ct).  The ct-half is exactly jvp(fwd; Z).
+
+    Per chunk: S = <vjp(chunk_fwd)(ct), Z_chunk>, grads = jax.grad(S) — all
+    chunk intermediates (both differentiation levels) live in VMEM; HBM
+    traffic stays at O(inputs + Z + outputs), vs the composable second-order
+    rule's (N, K, F) edge materializations this kernel replaces (PERF.md r4:
+    composable outer pass kept fused force training at 289 vs 235 ms/step).
+    """
+    r, k, rbf = ea_ref.shape
+    cfg_like = FusedETConfig(
+        h=h, heads=1, act=act, attn_act=attn_act, has_dk=has_dk,
+        has_dv=has_dv, interpret=False,
+    )
+    f32 = jnp.float32
+    # every packed operand is split OUTSIDE the differentiated chunk
+    # function (see _chunk_fwd_fn: double-transposed slices become pads
+    # Mosaic cannot lower), and the splits are REF-level sliced loads —
+    # value-level slices carry lane offsets Mosaic's broadcast rejects
+    # ("Invalid input layout" on vpad offset 256)
+    xparts = tuple(xw_ref[0, :, c * h : (c + 1) * h] for c in range(7))
+    zxparts = tuple(
+        zxw_ref[0, :, c * h : (c + 1) * h].astype(f32) for c in range(7)
+    )
+    wslices = tuple(slice(c * h, (c + 1) * h) for c in range(3))
+    wdv_p = tuple(wdv_ref[:, s] for s in wslices)
+    bdv_p = tuple(bdv_ref[:, s] for s in wslices)
+    zwdv_p = tuple(zwdv_ref[:, s].astype(f32) for s in wslices)
+    zbdv_p = tuple(zbdv_ref[:, s].astype(f32) for s in wslices)
+    ones = ones_ref[...]
+    q = q_ref[...]
+    ct_x = ct_x_ref[...].astype(f32)
+    ct_v = tuple(ct_vec_ref[:, s].astype(f32) for s in wslices)
+    zq = zq_ref[...].astype(f32)
+    zwdk = zwdk_ref[...].astype(f32)
+    zbdk = zbdk_ref[...].astype(f32)
+    wdk = wdk_ref[...]
+    bdk = bdk_ref[...]
+    gq_acc = jnp.zeros((r, h), f32)
+    gx_acc = [jnp.zeros((w, h), f32) for _ in range(7)]
+    gwdk_acc = jnp.zeros((rbf, h), f32)
+    gbdk_acc = jnp.zeros((1, h), f32)
+    gwdv_acc = [jnp.zeros((rbf, h), f32) for _ in range(3)]
+    gbdv_acc = [jnp.zeros((1, h), f32) for _ in range(3)]
+    gctx_acc = jnp.zeros((r, h), f32)
+    gctv_acc = [jnp.zeros((r, h), f32) for _ in range(3)]
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(f32)
+        loc = local_ref[:, c0 : c0 + kn].astype(f32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(
+            xparts[0].dtype
+        )
+        fwd = _chunk_fwd_fn(cfg_like, oh, ones, r, kn, h)
+        args = xparts + (
+            q,
+            ea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf),
+            cutm_ref[:, c0 : c0 + kn],
+            msk_ref[:, c0 : c0 + kn],
+            d0_ref[:, c0 : c0 + kn],
+            d1_ref[:, c0 : c0 + kn],
+            d2_ref[:, c0 : c0 + kn],
+            wdk, bdk,
+        ) + wdv_p + bdv_p
+        zea2 = zea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf).astype(f32)
+        zcutm_c = zcutm_ref[:, c0 : c0 + kn].astype(f32)
+        zd_c = tuple(
+            zref[:, c0 : c0 + kn].astype(f32)
+            for zref in (zd0_ref, zd1_ref, zd2_ref)
+        )
+        # Z per arg slot, None where the first-order op zeroes the
+        # cotangent (msk) so it never contracts
+        zs = zxparts + (
+            zq, zea2, zcutm_c, None, zd_c[0], zd_c[1], zd_c[2], zwdk, zbdk,
+        ) + zwdv_p + zbdv_p
+
+        def S(a, cts):
+            _, vjpf = jax.vjp(lambda t: fwd(*t), a)
+            (g,) = vjpf(cts)
+            return sum(
+                jnp.sum(gi.astype(f32) * zi)
+                for gi, zi in zip(g, zs)
+                if zi is not None
+            )
+
+        ga, gc = jax.grad(S, argnums=(0, 1))(args, (ct_x,) + ct_v)
+        for c in range(7):
+            gx_acc[c] = gx_acc[c] + ga[c].astype(f32)
+        gq_acc = gq_acc + ga[7].astype(f32)
+        gea_ref[:, c0 : c0 + kn, :] = ga[8].astype(gea_ref.dtype).reshape(
+            r, kn, rbf
+        )
+        gcutm_ref[:, c0 : c0 + kn] = ga[9].astype(f32)
+        gmsk_ref[:, c0 : c0 + kn] = ga[10].astype(f32)
+        gd0_ref[:, c0 : c0 + kn] = ga[11].astype(f32)
+        gd1_ref[:, c0 : c0 + kn] = ga[12].astype(f32)
+        gd2_ref[:, c0 : c0 + kn] = ga[13].astype(f32)
+        gwdk_acc = gwdk_acc + ga[14].astype(f32)
+        gbdk_acc = gbdk_acc + ga[15].astype(f32)
+        for c in range(3):
+            gwdv_acc[c] = gwdv_acc[c] + ga[16 + c].astype(f32)
+            gbdv_acc[c] = gbdv_acc[c] + ga[19 + c].astype(f32)
+        gctx_acc = gctx_acc + gc[0].astype(f32)
+        for c in range(3):
+            gctv_acc[c] = gctv_acc[c] + gc[1 + c].astype(f32)
+    gq_ref[...] = gq_acc
+    for c in range(7):
+        gxw_ref[0, :, c * h : (c + 1) * h] = gx_acc[c].astype(gxw_ref.dtype)
+    gwdk_ref[...] = gwdk_acc[None]
+    gbdk_ref[...] = gbdk_acc[None]
+    for c in range(3):
+        gwdv_ref[0, :, c * h : (c + 1) * h] = gwdv_acc[c]
+        gbdv_ref[0, :, c * h : (c + 1) * h] = gbdv_acc[c]
+    gctx_ref[...] = gctx_acc
+    for c in range(3):
+        gctvec_ref[:, c * h : (c + 1) * h] = gctv_acc[c]
+
+
+def _run_bwd2(
+    cfg: FusedETConfig, plan, q, ea, cutm, msk, dirs, xw, wdk, bdk, wdv, bdv,
+    ct_x, ct_vec, zq, zxw, zea, zcutm, zdirs, zwdk, zbdk, zwdv, zbdv,
+):
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    r = n // nb
+    h = cfg.h
+    rbf_true = ea.shape[-1]
+    rbf = -(-rbf_true // 128) * 128
+    if rbf != rbf_true:
+        pad3 = ((0, 0), (0, 0), (0, rbf - rbf_true))
+        padw = ((0, rbf - rbf_true), (0, 0))
+        ea = jnp.pad(ea, pad3)
+        zea = jnp.pad(zea, pad3)
+        wdk = jnp.pad(wdk, padw)
+        wdv = jnp.pad(wdv, padw)
+        zwdk = jnp.pad(zwdk, padw)
+        zwdv = jnp.pad(zwdv, padw)
+    f7 = 7 * h
+    # the nested-autodiff chunk body roughly triples the backward kernel's
+    # per-chunk live set; halve the K-chunk to keep it inside scoped VMEM
+    kc = max(8, cfg.kc // 2)
+    kern = functools.partial(
+        _bwd2_kernel, w=w, kc=kc, h=h, act=cfg.act, attn_act=cfg.attn_act,
+        has_dk=cfg.has_dk, has_dv=cfg.has_dv,
+    )
+    ones = _ones_block(h, cfg.heads, xw.dtype)
+    bcast = lambda *s: pl.BlockSpec(
+        s, lambda b: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+    blk = lambda *s: pl.BlockSpec(
+        s, lambda b, _nd=len(s): (b,) + (0,) * (_nd - 1), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        _nk(r, k),  # local
+        blk(1, w, f7),  # xw
+        blk(r, h),  # q
+        blk(r, k, rbf),  # ea
+        _nk(r, k), _nk(r, k),  # cutm, msk
+        _nk(r, k), _nk(r, k), _nk(r, k),  # dir x/y/z
+        bcast(rbf, h), bcast(1, h), bcast(rbf, 3 * h), bcast(1, 3 * h),
+        bcast(h, h),  # ones
+        blk(r, h), blk(r, 3 * h),  # ct_x, ct_vec
+        blk(r, h),  # zq
+        blk(1, w, f7),  # zxw
+        blk(r, k, rbf),  # zea
+        _nk(r, k),  # zcutm
+        _nk(r, k), _nk(r, k), _nk(r, k),  # zdir x/y/z
+        bcast(rbf, h), bcast(1, h), bcast(rbf, 3 * h), bcast(1, 3 * h),
+    ]
+    out_specs = [
+        blk(r, h),  # gq
+        blk(r, k, rbf),  # gea
+        _nk(r, k), _nk(r, k),  # gcutm, gmsk
+        _nk(r, k), _nk(r, k), _nk(r, k),  # gdir x/y/z
+        blk(1, w, f7),  # gxw partials
+        blk(1, rbf, h), blk(1, 1, h), blk(1, rbf, 3 * h), blk(1, 1, 3 * h),
+        blk(r, h), blk(r, 3 * h),  # gctx, gctvec
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h), jnp.float32),
+        jax.ShapeDtypeStruct((n, k, rbf), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+        jax.ShapeDtypeStruct((nb, w, f7), xw.dtype),
+        jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, rbf, 3 * h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, 3 * h), jnp.float32),
+        jax.ShapeDtypeStruct((n, h), jnp.float32),
+        jax.ShapeDtypeStruct((n, 3 * h), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(
+        plan.local, xw, q, ea, cutm, msk, dirs[0], dirs[1], dirs[2],
+        wdk, bdk, wdv, bdv, ones, ct_x, ct_vec,
+        zq, zxw, zea, zcutm, zdirs[0], zdirs[1], zdirs[2],
+        zwdk, zbdk, zwdv, zbdv,
+    )
+    (gq, gea, gcutm, gmsk, gd0, gd1, gd2, gxw, gwdk_p, gbdk_p, gwdv_p,
+     gbdv_p, gctx, gctvec) = outs
+    return (
+        gq, gea[:, :, :rbf_true], gcutm, gmsk, gd0, gd1, gd2, gxw,
+        gwdk_p[:, :rbf_true, :], gbdk_p, gwdv_p[:, :rbf_true, :], gbdv_p,
+        gctx, gctvec,
+    )
+
+
+# --------------------------------------------------------------------------
 # composable reference (the kernels' math twin, used for higher-order rules
 # and as the test oracle)
 # --------------------------------------------------------------------------
@@ -728,26 +1029,151 @@ def _et_bwd_op(cfg, plan, inputs, ct):
 
 @_et_bwd_op.defjvp
 def _et_bwd_op_jvp(cfg, primals, tangents):
-    """Second-order rule: jvp of the composable VJP (plain ops, so the outer
-    reverse pass can transpose it).  The primal still runs the Pallas bwd
-    kernel — inside a force-training step that is the inner force pass."""
+    """Second-order rule: the tangent rides `_et_bwd_dot`, a custom_transpose
+    linear in (d_inputs, d_ct) whose forward body is the composable
+    jvp-of-vjp (only executed in true forward-over-reverse use,
+    force_grad_mode='jvp') and whose TRANSPOSE — the hot path of
+    grad-of-grad force training — is the fused second-order kernel
+    `_et_bwd2_op`.  The primal still runs the Pallas bwd kernel: inside a
+    force-training step that is the inner force pass."""
     plan, inputs, ct = primals
     _, d_inputs, d_ct = tangents
-    primal_out = _et_bwd_op(cfg, plan, inputs, ct)
+    from jax.core import ShapedArray
 
+    primal_out = _et_bwd_op(cfg, plan, inputs, ct)
+    out_types = jax.tree_util.tree_map(
+        lambda o: ShapedArray(jnp.shape(o), o.dtype), primal_out
+    )
     idx = reconstruct_idx(plan)
     ones = _ones_block(cfg.h, cfg.heads, inputs[0].dtype)
+    tangent_out = _et_bwd_dot(cfg)(
+        out_types, (plan, idx, ones, inputs, ct),
+        (tuple(d_inputs), tuple(d_ct)),
+    )
+    return primal_out, tangent_out
 
-    def ref_vjp(inputs, ct):
-        _, vjp = jax.vjp(
-            lambda ins: _composable_reference(cfg, plan, idx, ones, ins), inputs
+
+def _ref_vjp_fn(cfg, plan, idx, ones, inputs, ct):
+    """The composable VJP with the kernel's mask-cotangent convention (msk is
+    0/1 data — its cotangent slot is zeroed, disconnecting it from autodiff
+    exactly like `_et_bwd_op` does)."""
+    _, vjp = jax.vjp(
+        lambda ins: _composable_reference(cfg, plan, idx, ones, ins), inputs
+    )
+    (d,) = vjp(ct)
+    return d[:8] + (jnp.zeros_like(inputs[8]),) + d[9:]
+
+
+def _composable_bwd_vjp(cfg, plan, idx, ones, inputs, ct, Z):
+    """Composable twin of `_et_bwd2_op`: grad over (inputs, ct) of
+    <ref_vjp(inputs, ct), Z>.  The third-order rule's body and the second-
+    order kernel's test oracle."""
+
+    def s_fn(inputs, ct):
+        g = _ref_vjp_fn(cfg, plan, idx, ones, inputs, ct)
+        return sum(
+            jnp.sum(gi.astype(jnp.float32) * zi.astype(jnp.float32))
+            for gi, zi in zip(g, Z)
         )
-        (d,) = vjp(ct)
-        # the composable vjp yields a float mask cotangent; zero it like the
-        # kernel does (mask is 0/1 data, not a differentiable quantity)
-        return d[:8] + (jnp.zeros_like(inputs[8]),) + d[9:]
 
-    _, tangent_out = jax.jvp(ref_vjp, (inputs, ct), (d_inputs, d_ct))
+    return jax.grad(s_fn, argnums=(0, 1))(inputs, ct)
+
+
+@functools.lru_cache(maxsize=None)
+def _et_bwd_dot(cfg):
+    from jax.custom_transpose import custom_transpose
+
+    @custom_transpose
+    def dot(res, lin):
+        plan, idx, ones, inputs, ct = res
+        d_inputs, d_ct = lin
+        _, tangent = jax.jvp(
+            lambda i, c: _ref_vjp_fn(cfg, plan, idx, ones, i, c),
+            (inputs, ct), (d_inputs, d_ct),
+        )
+        return tangent
+
+    @dot.def_transpose
+    def dot_t(res, Z):
+        plan, idx, ones, inputs, ct = res
+        Z = tuple(
+            jnp.zeros_like(x) if z is None else z for z, x in zip(Z, inputs)
+        )
+        return _et_bwd2_op(cfg, plan, inputs, ct, Z)
+
+    return dot
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _et_bwd2_op(cfg, plan, inputs, ct, Z):
+    """VJP of `_et_bwd_op` wrt (inputs, ct), computed by the fused
+    second-order Pallas kernel.
+
+    Z: 16-tuple of cotangents on the backward op's outputs (one per
+    input-cotangent slot; the msk slot is ignored — that output is zeros).
+    Returns (g_inputs 16-tuple, g_ct 2-tuple).  The g_ct half equals
+    jvp(fused_forward; Z) — both halves fall out of the same per-chunk
+    nested-autodiff contraction.
+    """
+    (q, k, v, vec0, vec1, vec2, ea, cutm, msk, dir0, dir1, dir2,
+     wdk, bdk, wdv, bdv) = inputs
+    ct_x, ct_vec = ct
+    (z_q, z_k, z_v, z_vec0, z_vec1, z_vec2, z_ea, z_cutm, _z_msk,
+     z_dir0, z_dir1, z_dir2, z_wdk, z_bdk, z_wdv, z_bdv) = Z
+    h = cfg.h
+    src = jnp.concatenate([k, v, vec0, vec1, vec2], axis=-1)  # (N, 7H)
+    xw = _table_gather(cfg, src, plan)
+    # Z on the scattered source-cotangents routes back through the
+    # scatter's adjoint: the same table gather
+    z_src = jnp.concatenate(
+        [z_k, z_v, z_vec0, z_vec1, z_vec2], axis=-1
+    ).astype(src.dtype)
+    z_xw = _table_gather(cfg, z_src, plan)
+    outs = _run_bwd2(
+        cfg, plan, q, ea, cutm, msk, (dir0, dir1, dir2), xw,
+        wdk, bdk, wdv, bdv,
+        ct_x.astype(jnp.float32), ct_vec.astype(jnp.float32),
+        z_q, z_xw, z_ea, z_cutm, (z_dir0, z_dir1, z_dir2),
+        z_wdk, z_bdk, z_wdv, z_bdv,
+    )
+    (gq, gea, gcutm, gmsk, gd0, gd1, gd2, gxw, gwdk_p, gbdk_p, gwdv_p,
+     gbdv_p, gctx, gctvec) = outs
+    g_src = _table_scatter(cfg, gxw, plan, q.shape[0]).astype(q.dtype)
+    g_inputs = (
+        gq.astype(q.dtype),
+        g_src[:, :h],
+        g_src[:, h : 4 * h],
+        g_src[:, 4 * h : 5 * h],
+        g_src[:, 5 * h : 6 * h],
+        g_src[:, 6 * h :],
+        gea.reshape(ea.shape).astype(ea.dtype),
+        gcutm.astype(cutm.dtype),
+        gmsk.astype(msk.dtype),
+        gd0.astype(dir0.dtype),
+        gd1.astype(dir1.dtype),
+        gd2.astype(dir2.dtype),
+        gwdk_p.sum(axis=0).astype(wdk.dtype),
+        gbdk_p.sum(axis=0).astype(bdk.dtype),
+        gwdv_p.sum(axis=0).astype(wdv.dtype),
+        gbdv_p.sum(axis=0).astype(bdv.dtype),
+    )
+    g_ct = (gctx.astype(ct_x.dtype), gctvec.astype(ct_vec.dtype))
+    return g_inputs, g_ct
+
+
+@_et_bwd2_op.defjvp
+def _et_bwd2_op_jvp(cfg, primals, tangents):
+    """Third-order rule: composable (jvp of the composable VJP-of-VJP).
+    Reached only beyond grad-of-grad — kept for all-orders closure."""
+    plan, inputs, ct, Z = primals
+    _, d_inputs, d_ct, d_Z = tangents
+    primal_out = _et_bwd2_op(cfg, plan, inputs, ct, Z)
+    idx = reconstruct_idx(plan)
+    ones = _ones_block(cfg.h, cfg.heads, inputs[0].dtype)
+    _, tangent_out = jax.jvp(
+        lambda i, c, z: _composable_bwd_vjp(cfg, plan, idx, ones, i, c, z),
+        (inputs, ct, Z), (d_inputs, d_ct, d_Z),
+    )
     return primal_out, tangent_out
 
 

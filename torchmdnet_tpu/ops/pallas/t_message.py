@@ -413,21 +413,299 @@ def _t_bwd_op(cfg, plan, inputs, ct):
 
 @_t_bwd_op.defjvp
 def _t_bwd_op_jvp(cfg, primals, tangents):
+    """Second-order rule: tangent rides `_t_bwd_dot` (custom_transpose)
+    whose transpose — grad-of-grad force training's hot path — is the fused
+    second-order kernel `_t_bwd2_op` (see et_message.py)."""
+    from jax.core import ShapedArray
+
     plan, inputs, ct = primals
     _, d_inputs, d_ct = tangents
     primal_out = _t_bwd_op(cfg, plan, inputs, ct)
+    out_types = jax.tree_util.tree_map(
+        lambda o: ShapedArray(jnp.shape(o), o.dtype), primal_out
+    )
     idx = reconstruct_idx(plan)
     ones = _ones_block(cfg.h, cfg.heads, inputs[0].dtype)
+    tangent_out = _t_bwd_dot(cfg)(
+        out_types, (plan, idx, ones, inputs, ct), (tuple(d_inputs), d_ct)
+    )
+    return primal_out, tangent_out
 
-    def ref_vjp(inputs, ct):
-        _, vjp = jax.vjp(
-            lambda ins: _composable_t_reference(cfg, plan, idx, ones, ins),
-            inputs,
+
+def _t_ref_vjp_fn(cfg, plan, idx, ones, inputs, ct):
+    _, vjp = jax.vjp(
+        lambda ins: _composable_t_reference(cfg, plan, idx, ones, ins), inputs
+    )
+    (d,) = vjp(ct)
+    return d
+
+
+def _composable_t_bwd_vjp(cfg, plan, idx, ones, inputs, ct, Z):
+    """Composable twin of `_t_bwd2_op` (third-order body, test oracle)."""
+
+    def s_fn(inputs, ct):
+        g = _t_ref_vjp_fn(cfg, plan, idx, ones, inputs, ct)
+        return sum(
+            jnp.sum(gi.astype(jnp.float32) * zi.astype(jnp.float32))
+            for gi, zi in zip(g, Z)
         )
-        (d,) = vjp(ct)
-        return d
 
-    _, tangent_out = jax.jvp(ref_vjp, (inputs, ct), (d_inputs, d_ct))
+    return jax.grad(s_fn, argnums=(0, 1))(inputs, ct)
+
+
+@functools.lru_cache(maxsize=None)
+def _t_bwd_dot(cfg):
+    from jax.custom_transpose import custom_transpose
+
+    @custom_transpose
+    def dot(res, lin):
+        plan, idx, ones, inputs, ct = res
+        d_inputs, d_ct = lin
+        _, tangent = jax.jvp(
+            lambda i, c: _t_ref_vjp_fn(cfg, plan, idx, ones, i, c),
+            (inputs, ct), (d_inputs, d_ct),
+        )
+        return tangent
+
+    @dot.def_transpose
+    def dot_t(res, Z):
+        plan, idx, ones, inputs, ct = res
+        Z = tuple(
+            jnp.zeros_like(x) if z is None else z for z, x in zip(Z, inputs)
+        )
+        return _t_bwd2_op(cfg, plan, inputs, ct, Z)
+
+    return dot
+
+
+def _t_chunk_fwd_fn(cfg, oh, ones, r, kn, h):
+    """One `_fwd_kernel` chunk as a pure function for nested autodiff inside
+    the second-order kernel — no slice/concatenate on differentiated values
+    (see et_message._chunk_fwd_fn); the (W, 2H) source table arrives
+    pre-split into k/v halves."""
+    rc = r * kn
+
+    def fwd(xk, xv, q, ea2, cutm_c, wdk, bdk, wdv, bdv):
+        bf = xk.dtype
+        dk3 = None
+        if cfg.has_dk:
+            pre = jax.lax.dot(ea2, wdk, preferred_element_type=jnp.float32)
+            dk3 = _act_v(cfg.act, pre.astype(bf) + bdk).reshape(r, kn, h)
+        dv3 = None
+        if cfg.has_dv:
+            pre = jax.lax.dot(ea2, wdv, preferred_element_type=jnp.float32)
+            dv3 = _act_v(cfg.act, pre.astype(bf) + bdv).reshape(r, kn, h)
+        gat = lambda t: jax.lax.dot(
+            oh, t, preferred_element_type=jnp.float32
+        ).astype(bf).reshape(r, kn, h)
+        prod3 = q[:, None, :] * gat(xk)
+        if dk3 is not None:
+            prod3 = prod3 * dk3
+        pre_a = jax.lax.dot(
+            prod3.reshape(rc, h), ones, preferred_element_type=jnp.float32
+        ).astype(bf)
+        attn3 = (
+            _act_v(cfg.attn_act, pre_a.reshape(r, kn, h))
+            * cutm_c[:, :, None].astype(bf)
+        )
+        vj3 = gat(xv)
+        if dv3 is not None:
+            vj3 = vj3 * dv3
+        return (vj3 * attn3).astype(jnp.float32).sum(axis=1)
+
+    return fwd
+
+
+def _t_bwd2_kernel(
+    local_ref, xw_ref, q_ref, ea_ref, cutm_ref,
+    wdk_ref, bdk_ref, wdv_ref, bdv_ref, ones_ref, ct_ref,
+    zq_ref, zxw_ref, zea_ref, zcutm_ref,
+    zwdk_ref, zbdk_ref, zwdv_ref, zbdv_ref,
+    gq_ref, gea_ref, gcutm_ref, gxw_ref,
+    gwdk_ref, gbdk_ref, gwdv_ref, gbdv_ref, gct_ref,
+    *, w, kc, h, act, attn_act, has_dk, has_dv,
+):
+    """Fused VJP-of-VJP of the T edge phase (construction: see
+    et_message._bwd2_kernel)."""
+    r, k, rbf = ea_ref.shape
+    f32 = jnp.float32
+    cfg_like = FusedTConfig(
+        h=h, heads=1, act=act, attn_act=attn_act, has_dk=has_dk,
+        has_dv=has_dv, interpret=False,
+    )
+    xk_t = xw_ref[0, :, :h]
+    xv_t = xw_ref[0, :, h:]
+    zxk_t = zxw_ref[0, :, :h].astype(f32)
+    zxv_t = zxw_ref[0, :, h:].astype(f32)
+    ones = ones_ref[...]
+    q = q_ref[...]
+    ct = ct_ref[...].astype(f32)
+    zq = zq_ref[...].astype(f32)
+    zwdk = zwdk_ref[...].astype(f32)
+    zbdk = zbdk_ref[...].astype(f32)
+    zwdv = zwdv_ref[...].astype(f32)
+    zbdv = zbdv_ref[...].astype(f32)
+    wdk = wdk_ref[...]
+    bdk = bdk_ref[...]
+    wdv = wdv_ref[...]
+    bdv = bdv_ref[...]
+    gq_acc = jnp.zeros((r, h), f32)
+    gxk_acc = jnp.zeros((w, h), f32)
+    gxv_acc = jnp.zeros((w, h), f32)
+    gwdk_acc = jnp.zeros((rbf, h), f32)
+    gbdk_acc = jnp.zeros((1, h), f32)
+    gwdv_acc = jnp.zeros((rbf, h), f32)
+    gbdv_acc = jnp.zeros((1, h), f32)
+    gct_acc = jnp.zeros((r, h), f32)
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(f32)
+        loc = local_ref[:, c0 : c0 + kn].astype(f32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(xk_t.dtype)
+        fwd = _t_chunk_fwd_fn(cfg_like, oh, ones, r, kn, h)
+        args = (
+            xk_t, xv_t, q,
+            ea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf),
+            cutm_ref[:, c0 : c0 + kn],
+            wdk, bdk, wdv, bdv,
+        )
+        zea2 = zea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf).astype(f32)
+        zcutm_c = zcutm_ref[:, c0 : c0 + kn].astype(f32)
+        zs = (zxk_t, zxv_t, zq, zea2, zcutm_c, zwdk, zbdk, zwdv, zbdv)
+
+        def S(a, c):
+            _, vjpf = jax.vjp(lambda t: fwd(*t), a)
+            (g,) = vjpf(c)
+            return sum(
+                jnp.sum(gi.astype(f32) * zi) for gi, zi in zip(g, zs)
+            )
+
+        ga, gc = jax.grad(S, argnums=(0, 1))(args, ct)
+        gxk_acc = gxk_acc + ga[0].astype(f32)
+        gxv_acc = gxv_acc + ga[1].astype(f32)
+        gq_acc = gq_acc + ga[2].astype(f32)
+        gea_ref[:, c0 : c0 + kn, :] = ga[3].astype(gea_ref.dtype).reshape(
+            r, kn, rbf
+        )
+        gcutm_ref[:, c0 : c0 + kn] = ga[4].astype(f32)
+        gwdk_acc = gwdk_acc + ga[5].astype(f32)
+        gbdk_acc = gbdk_acc + ga[6].astype(f32)
+        gwdv_acc = gwdv_acc + ga[7].astype(f32)
+        gbdv_acc = gbdv_acc + ga[8].astype(f32)
+        gct_acc = gct_acc + gc.astype(f32)
+    gq_ref[...] = gq_acc
+    gxw_ref[0, :, :h] = gxk_acc.astype(gxw_ref.dtype)
+    gxw_ref[0, :, h:] = gxv_acc.astype(gxw_ref.dtype)
+    gwdk_ref[...] = gwdk_acc[None]
+    gbdk_ref[...] = gbdk_acc[None]
+    gwdv_ref[...] = gwdv_acc[None]
+    gbdv_ref[...] = gbdv_acc[None]
+    gct_ref[...] = gct_acc
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _t_bwd2_op(cfg, plan, inputs, ct, Z):
+    """VJP of `_t_bwd_op` wrt (inputs, ct) via the fused second-order
+    kernel.  Z: 9-tuple of cotangents on the backward op's outputs.
+    Returns (g_inputs 9-tuple, g_ct)."""
+    q, k, v, ea, cutm, wdk, bdk, wdv, bdv = inputs
+    z_q, z_k, z_v, z_ea, z_cutm, z_wdk, z_bdk, z_wdv, z_bdv = Z
+    h = cfg.h
+    n, kk = plan.local.shape
+    nb, w = plan.u.shape
+    r = n // nb
+    src = jnp.concatenate([k, v], axis=-1)
+    xw = _table_gather(cfg, src, plan)
+    z_src = jnp.concatenate([z_k, z_v], axis=-1).astype(src.dtype)
+    z_xw = _table_gather(cfg, z_src, plan)
+    rbf_true = ea.shape[-1]
+    rbf = -(-rbf_true // 128) * 128
+    if rbf != rbf_true:
+        pad3 = ((0, 0), (0, 0), (0, rbf - rbf_true))
+        padw = ((0, rbf - rbf_true), (0, 0))
+        ea = jnp.pad(ea, pad3)
+        z_ea = jnp.pad(z_ea, pad3)
+        wdk = jnp.pad(wdk, padw)
+        wdv = jnp.pad(wdv, padw)
+        z_wdk = jnp.pad(z_wdk, padw)
+        z_wdv = jnp.pad(z_wdv, padw)
+    kc = max(8, cfg.kc // 2)
+    kern = functools.partial(
+        _t_bwd2_kernel, w=w, kc=kc, h=h, act=cfg.act, attn_act=cfg.attn_act,
+        has_dk=cfg.has_dk, has_dv=cfg.has_dv,
+    )
+    ones = _ones_block(h, cfg.heads, xw.dtype)
+    blk = lambda *s: pl.BlockSpec(
+        s, lambda b, _nd=len(s): (b,) + (0,) * (_nd - 1), memory_space=pltpu.VMEM
+    )
+    bcast = lambda *s: pl.BlockSpec(
+        s, lambda b: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+    wspecs = [bcast(rbf, h), bcast(1, h), bcast(rbf, h), bcast(1, h)]
+    in_specs = (
+        [_nk(r, kk), blk(1, w, 2 * h), blk(r, h), blk(r, kk, rbf), _nk(r, kk)]
+        + wspecs
+        + [bcast(h, h), blk(r, h)]  # ones, ct
+        + [blk(r, h), blk(1, w, 2 * h), blk(r, kk, rbf), _nk(r, kk)]
+        + wspecs
+    )
+    out_specs = (
+        [blk(r, h), blk(r, kk, rbf), _nk(r, kk), blk(1, w, 2 * h)]
+        + [blk(1, rbf, h), blk(1, 1, h), blk(1, rbf, h), blk(1, 1, h)]
+        + [blk(r, h)]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h), jnp.float32),
+        jax.ShapeDtypeStruct((n, kk, rbf), jnp.float32),
+        jax.ShapeDtypeStruct((n, kk), jnp.float32),
+        jax.ShapeDtypeStruct((nb, w, 2 * h), xw.dtype),
+        jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+        jax.ShapeDtypeStruct((n, h), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(
+        plan.local, xw, q, ea, cutm, wdk, bdk, wdv, bdv, ones,
+        ct.astype(jnp.float32),
+        z_q, z_xw, z_ea, z_cutm.astype(jnp.float32),
+        z_wdk, z_bdk, z_wdv, z_bdv,
+    )
+    gq, gea, gcutm, gxw, gwdk_p, gbdk_p, gwdv_p, gbdv_p, gct = outs
+    g_src = _table_scatter(cfg, gxw, plan, q.shape[0]).astype(q.dtype)
+    g_inputs = (
+        gq.astype(q.dtype),
+        g_src[:, :h],
+        g_src[:, h:],
+        gea[:, :, :rbf_true].reshape(inputs[3].shape).astype(inputs[3].dtype),
+        gcutm.astype(cutm.dtype),
+        gwdk_p[:, :rbf_true, :].sum(axis=0).astype(inputs[5].dtype),
+        gbdk_p.sum(axis=0).astype(bdk.dtype),
+        gwdv_p[:, :rbf_true, :].sum(axis=0).astype(inputs[7].dtype),
+        gbdv_p.sum(axis=0).astype(bdv.dtype),
+    )
+    return g_inputs, gct.astype(ct.dtype)
+
+
+@_t_bwd2_op.defjvp
+def _t_bwd2_op_jvp(cfg, primals, tangents):
+    """Third-order rule: composable.  Reached only beyond grad-of-grad."""
+    plan, inputs, ct, Z = primals
+    _, d_inputs, d_ct, d_Z = tangents
+    primal_out = _t_bwd2_op(cfg, plan, inputs, ct, Z)
+    idx = reconstruct_idx(plan)
+    ones = _ones_block(cfg.h, cfg.heads, inputs[0].dtype)
+    _, tangent_out = jax.jvp(
+        lambda i, c, z: _composable_t_bwd_vjp(cfg, plan, idx, ones, i, c, z),
+        (inputs, ct, Z), (d_inputs, d_ct, d_Z),
+    )
     return primal_out, tangent_out
 
 

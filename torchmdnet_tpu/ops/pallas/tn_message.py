@@ -351,20 +351,311 @@ def _tn_bwd_op(cfg, plan, inputs, ct):
 
 @_tn_bwd_op.defjvp
 def _tn_bwd_op_jvp(cfg, primals, tangents):
-    """Second-order rule: jvp of the composable VJP (transposable plain ops);
-    the primal still runs the Pallas bwd kernel."""
+    """Second-order rule: the tangent rides `_tn_bwd_dot` (custom_transpose,
+    linear in the tangents) whose transpose — the grad-of-grad force-training
+    hot path — is the fused second-order kernel `_tn_bwd2_op`.  The primal
+    still runs the Pallas bwd kernel."""
+    from jax.core import ShapedArray
+
     plan, inputs, ct = primals
     _, d_inputs, d_ct = tangents
     primal_out = _tn_bwd_op(cfg, plan, inputs, ct)
+    out_types = jax.tree_util.tree_map(
+        lambda o: ShapedArray(jnp.shape(o), o.dtype), primal_out
+    )
+    tangent_out = _tn_bwd_dot(cfg)(
+        out_types, (plan, inputs, ct), (tuple(d_inputs), d_ct)
+    )
+    return primal_out, tangent_out
 
-    def ref_vjp(inputs, ct):
-        _, vjp = jax.vjp(
-            lambda ins: _composable_tn_reference(cfg, plan, ins), inputs
+
+def _tn_ref_vjp_fn(cfg, plan, inputs, ct):
+    _, vjp = jax.vjp(
+        lambda ins: _composable_tn_reference(cfg, plan, ins), inputs
+    )
+    (d,) = vjp(ct)
+    return d
+
+
+def _composable_tn_bwd_vjp(cfg, plan, inputs, ct, Z):
+    """Composable twin of `_tn_bwd2_op` (third-order body, test oracle)."""
+
+    def s_fn(inputs, ct):
+        g = _tn_ref_vjp_fn(cfg, plan, inputs, ct)
+        return sum(
+            jnp.sum(gi.astype(jnp.float32) * zi.astype(jnp.float32))
+            for gi, zi in zip(g, Z)
         )
-        (d,) = vjp(ct)
-        return d
 
-    _, tangent_out = jax.jvp(ref_vjp, (inputs, ct), (d_inputs, d_ct))
+    return jax.grad(s_fn, argnums=(0, 1))(inputs, ct)
+
+
+@functools.lru_cache(maxsize=None)
+def _tn_bwd_dot(cfg):
+    from jax.custom_transpose import custom_transpose
+
+    @custom_transpose
+    def dot(res, lin):
+        plan, inputs, ct = res
+        d_inputs, d_ct = lin
+        _, tangent = jax.jvp(
+            lambda i, c: _tn_ref_vjp_fn(cfg, plan, i, c),
+            (inputs, ct), (d_inputs, d_ct),
+        )
+        return tangent
+
+    @dot.def_transpose
+    def dot_t(res, Z):
+        plan, inputs, ct = res
+        Z = tuple(
+            jnp.zeros_like(x) if z is None else z for z, x in zip(Z, inputs)
+        )
+        return _tn_bwd2_op(cfg, plan, inputs, ct, Z)
+
+    return dot
+
+
+def _tn_chunk_fwd_fn(cfg, oh, r, kn, h):
+    """One `_fwd_kernel` chunk as a pure function of its differentiable
+    args, shaped for nested autodiff inside the second-order kernel.  Same
+    Mosaic constraint as et_message._chunk_fwd_fn: no slice/concatenate on
+    any differentiated value — the packed source table, the ct, and the L3
+    weights arrive pre-split per irrep third (ref-level sliced loads), and
+    the nine component partials return separately.  `_WB` maps component ->
+    which L3 third multiplies it (tensornet.py irrep order I, A x3, S x5)."""
+
+    def fwd(xws, ea2, cutm_c, w1, b1, w2, b2, w3i, w3a, w3s, b3i, b3a, b3s):
+        bf = xws[0].dtype
+        p1 = jax.lax.dot(ea2, w1, preferred_element_type=jnp.float32).astype(bf) + b1
+        t1 = _act_v(cfg.act, p1)
+        p2 = jax.lax.dot(t1, w2, preferred_element_type=jnp.float32).astype(bf) + b2
+        t2 = _act_v(cfg.act, p2)
+        cutm3 = cutm_c[:, :, None].astype(bf)
+        thirds = []
+        for wv, bv in ((w3i, b3i), (w3a, b3a), (w3s, b3s)):
+            p3 = jax.lax.dot(t2, wv, preferred_element_type=jnp.float32).astype(bf) + bv
+            thirds.append(_act_v(cfg.act, p3).reshape(r, kn, h) * cutm3)
+        parts = []
+        for c, third in enumerate(_WB):
+            g3 = (
+                jax.lax.dot(oh, xws[c], preferred_element_type=jnp.float32)
+                .astype(bf).reshape(r, kn, h)
+            )
+            parts.append(
+                (g3 * thirds[third]).astype(jnp.float32).sum(axis=1)
+            )
+        return tuple(parts)
+
+    return fwd
+
+
+_WB = (0, 1, 1, 1, 2, 2, 2, 2, 2)  # component -> L3 third (I, A, S)
+
+
+def _tn_bwd2_kernel(
+    local_ref, xw_ref, ea_ref, cutm_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, ct_ref,
+    zxw_ref, zea_ref, zcutm_ref,
+    zw1_ref, zb1_ref, zw2_ref, zb2_ref, zw3_ref, zb3_ref,
+    gea_ref, gcutm_ref, gxw_ref,
+    gw1_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref, gct_ref,
+    *, w, kc, h, act,
+):
+    """Fused VJP-of-VJP of the TN message phase (see et_message._bwd2_kernel
+    for the construction): per chunk, S = <vjp(chunk_fwd)(ct), Z_chunk> and
+    jax.grad(S) emits gradients wrt every primal input and wrt ct."""
+    r, k, rbf = ea_ref.shape
+    f32 = jnp.float32
+    cfg_like = FusedTNConfig(h=h, act=act, interpret=False)
+    xparts = tuple(xw_ref[0, :, c * h : (c + 1) * h] for c in range(9))
+    zxparts = tuple(
+        zxw_ref[0, :, c * h : (c + 1) * h].astype(f32) for c in range(9)
+    )
+    tslices = tuple(slice(c * h, (c + 1) * h) for c in range(3))
+    w3_p = tuple(w3_ref[:, s] for s in tslices)
+    b3_p = tuple(b3_ref[:, s] for s in tslices)
+    zw3_p = tuple(zw3_ref[:, s].astype(f32) for s in tslices)
+    zb3_p = tuple(zb3_ref[:, s].astype(f32) for s in tslices)
+    ct_p = tuple(ct_ref[:, c * h : (c + 1) * h].astype(f32) for c in range(9))
+    w1 = w1_ref[...]
+    b1 = b1_ref[...]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...]
+    zw1 = zw1_ref[...].astype(f32)
+    zb1 = zb1_ref[...].astype(f32)
+    zw2 = zw2_ref[...].astype(f32)
+    zb2 = zb2_ref[...].astype(f32)
+    gx_acc = [jnp.zeros((w, h), f32) for _ in range(9)]
+    gw1_acc = jnp.zeros((rbf, h), f32)
+    gb1_acc = jnp.zeros((1, h), f32)
+    gw2_acc = jnp.zeros((h, 2 * h), f32)
+    gb2_acc = jnp.zeros((1, 2 * h), f32)
+    gw3_acc = [jnp.zeros((2 * h, h), f32) for _ in range(3)]
+    gb3_acc = [jnp.zeros((1, h), f32) for _ in range(3)]
+    gct_acc = [jnp.zeros((r, h), f32) for _ in range(9)]
+    for c0, kn in _chunks(k, kc):
+        rc = r * kn
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r, kn, w), 2).astype(f32)
+        loc = local_ref[:, c0 : c0 + kn].astype(f32)[:, :, None]
+        oh = jnp.where(loc == cols, 1.0, 0.0).reshape(rc, w).astype(
+            xparts[0].dtype
+        )
+        fwd = _tn_chunk_fwd_fn(cfg_like, oh, r, kn, h)
+        args = (
+            xparts,
+            ea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf),
+            cutm_ref[:, c0 : c0 + kn],
+            w1, b1, w2, b2,
+        ) + w3_p + b3_p
+        zea2 = zea_ref[:, c0 : c0 + kn, :].reshape(rc, rbf).astype(f32)
+        zcutm_c = zcutm_ref[:, c0 : c0 + kn].astype(f32)
+        zs = (
+            zxparts, zea2, zcutm_c, zw1, zb1, zw2, zb2,
+        ) + zw3_p + zb3_p
+
+        def S(a, cts):
+            _, vjpf = jax.vjp(lambda t: fwd(*t), a)
+            (g,) = vjpf(cts)
+            total = jnp.zeros((), f32)
+            for gi, zi in zip(g, zs):
+                if isinstance(zi, tuple):
+                    for gij, zij in zip(gi, zi):
+                        total = total + jnp.sum(gij.astype(f32) * zij)
+                else:
+                    total = total + jnp.sum(gi.astype(f32) * zi)
+            return total
+
+        ga, gc = jax.grad(S, argnums=(0, 1))(args, ct_p)
+        for c in range(9):
+            gx_acc[c] = gx_acc[c] + ga[0][c].astype(f32)
+        gea_ref[:, c0 : c0 + kn, :] = ga[1].astype(gea_ref.dtype).reshape(
+            r, kn, rbf
+        )
+        gcutm_ref[:, c0 : c0 + kn] = ga[2].astype(f32)
+        gw1_acc = gw1_acc + ga[3].astype(f32)
+        gb1_acc = gb1_acc + ga[4].astype(f32)
+        gw2_acc = gw2_acc + ga[5].astype(f32)
+        gb2_acc = gb2_acc + ga[6].astype(f32)
+        for c in range(3):
+            gw3_acc[c] = gw3_acc[c] + ga[7 + c].astype(f32)
+            gb3_acc[c] = gb3_acc[c] + ga[10 + c].astype(f32)
+        for c in range(9):
+            gct_acc[c] = gct_acc[c] + gc[c].astype(f32)
+    for c in range(9):
+        gxw_ref[0, :, c * h : (c + 1) * h] = gx_acc[c].astype(gxw_ref.dtype)
+        gct_ref[:, c * h : (c + 1) * h] = gct_acc[c]
+    gw1_ref[...] = gw1_acc[None]
+    gb1_ref[...] = gb1_acc[None]
+    gw2_ref[...] = gw2_acc[None]
+    gb2_ref[...] = gb2_acc[None]
+    for c in range(3):
+        gw3_ref[0, :, c * h : (c + 1) * h] = gw3_acc[c]
+        gb3_ref[0, :, c * h : (c + 1) * h] = gb3_acc[c]
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _tn_bwd2_op(cfg, plan, inputs, ct, Z):
+    """VJP of `_tn_bwd_op` wrt (inputs, ct) via the fused second-order
+    kernel.  Z: 9-tuple of cotangents on the backward op's outputs.
+    Returns (g_inputs 9-tuple, g_ct)."""
+    cat, ea, cutm, w1, b1, w2, b2, w3, b3 = inputs
+    z_cat, z_ea, z_cutm, z_w1, z_b1, z_w2, z_b2, z_w3, z_b3 = Z
+    n, k = plan.local.shape
+    nb, w = plan.u.shape
+    rbf_true = ea.shape[-1]
+    rbf = -(-rbf_true // 128) * 128
+    if rbf != rbf_true:
+        pad3 = ((0, 0), (0, 0), (0, rbf - rbf_true))
+        padw = ((0, rbf - rbf_true), (0, 0))
+        ea = jnp.pad(ea, pad3)
+        z_ea = jnp.pad(z_ea, pad3)
+        w1 = jnp.pad(w1, padw)
+        z_w1 = jnp.pad(z_w1, padw)
+    h = cfg.h
+    r = n // nb
+    xw = _table_gather(cfg, cat, plan)
+    z_xw = _table_gather(cfg, z_cat.astype(cat.dtype), plan)
+    # the nine per-component autodiff chains keep many (W, H) temporaries
+    # live at once — the smallest chunk bounds the rest of the working set
+    kc = 2
+    kern = functools.partial(_tn_bwd2_kernel, w=w, kc=kc, h=h, act=cfg.act)
+    nk = lambda: pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    blk = lambda *s: pl.BlockSpec(
+        s, lambda b, _nd=len(s): (b,) + (0,) * (_nd - 1), memory_space=pltpu.VMEM
+    )
+    bcast = lambda *s: pl.BlockSpec(
+        s, lambda b: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+    wspecs = [
+        bcast(rbf, h), bcast(1, h), bcast(h, 2 * h), bcast(1, 2 * h),
+        bcast(2 * h, 3 * h), bcast(1, 3 * h),
+    ]
+    in_specs = (
+        [nk(), blk(1, w, 9 * h), blk(r, k, rbf), nk()]
+        + wspecs
+        + [blk(r, 9 * h)]  # ct
+        + [blk(1, w, 9 * h), blk(r, k, rbf), nk()]
+        + wspecs
+    )
+    out_specs = (
+        [blk(r, k, rbf), nk(), blk(1, w, 9 * h)]
+        + [
+            blk(1, rbf, h), blk(1, 1, h), blk(1, h, 2 * h), blk(1, 1, 2 * h),
+            blk(1, 2 * h, 3 * h), blk(1, 1, 3 * h),
+        ]
+        + [blk(r, 9 * h)]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n, k, rbf), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+        jax.ShapeDtypeStruct((nb, w, 9 * h), cat.dtype),
+        jax.ShapeDtypeStruct((nb, rbf, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, h, 2 * h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, 2 * h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 2 * h, 3 * h), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, 3 * h), jnp.float32),
+        jax.ShapeDtypeStruct((n, 9 * h), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(
+        plan.local, xw, ea, cutm, w1, b1, w2, b2, w3, b3,
+        ct.astype(jnp.float32),
+        z_xw, z_ea, z_cutm.astype(jnp.float32),
+        z_w1, z_b1, z_w2, z_b2, z_w3, z_b3,
+    )
+    (gea, gcutm, gxw, gw1, gb1, gw2, gb2, gw3, gb3, gct) = outs
+    g_cat = _table_scatter(cfg, gxw, plan, cat.shape[0]).astype(cat.dtype)
+    g_inputs = (
+        g_cat,
+        gea[:, :, :rbf_true].astype(inputs[1].dtype),
+        gcutm.astype(cutm.dtype),
+        gw1[:, :rbf_true, :].sum(axis=0).astype(inputs[3].dtype),
+        gb1.sum(axis=0).astype(b1.dtype),
+        gw2.sum(axis=0).astype(w2.dtype),
+        gb2.sum(axis=0).astype(b2.dtype),
+        gw3.sum(axis=0).astype(w3.dtype),
+        gb3.sum(axis=0).astype(b3.dtype),
+    )
+    return g_inputs, gct.astype(ct.dtype)
+
+
+@_tn_bwd2_op.defjvp
+def _tn_bwd2_op_jvp(cfg, primals, tangents):
+    """Third-order rule: composable.  Reached only beyond grad-of-grad."""
+    plan, inputs, ct, Z = primals
+    _, d_inputs, d_ct, d_Z = tangents
+    primal_out = _tn_bwd2_op(cfg, plan, inputs, ct, Z)
+    _, tangent_out = jax.jvp(
+        lambda i, c, z: _composable_tn_bwd_vjp(cfg, plan, i, c, z),
+        (inputs, ct, Z), (d_inputs, d_ct, d_Z),
+    )
     return primal_out, tangent_out
 
 
