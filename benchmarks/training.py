@@ -32,13 +32,17 @@ def main():
     ap.add_argument("--bf16-messages", action="store_true")
     ap.add_argument("--fused-attention", action="store_true",
                     help="fused Pallas edge kernels (ET/tensornet; the trainer builds the gather plan; implies --bf16-messages)")
-    ap.add_argument("--plan-width", type=int, default=640)
-    ap.add_argument("--plan-rows", type=int, default=32)
+    ap.add_argument("--plan-width", type=int, default=0,
+                    help="0 = auto: probe (R, W, A) from the batch like Trainer.fit")
+    ap.add_argument("--plan-rows", type=int, default=0)
     ap.add_argument("--system", default=None,
                     help="benchmark system name (e.g. dhfr): one big molecule per batch instead of batch-size small ones")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
     ap.add_argument("--trace", action="store_true", help="capture a device trace of a few dispatches and print the top fusions")
+    ap.add_argument("--force-grad-mode", default="gradgrad",
+                    choices=("gradgrad", "jvp"),
+                    help="force-loss gradient formulation (trainer hparam force_grad_mode)")
     args = ap.parse_args()
 
     if args.fused_attention:
@@ -116,6 +120,7 @@ def main():
         fused_message=args.fused_attention and args.model == "tensornet",
         plan_width=args.plan_width,
         plan_block_rows=args.plan_rows,
+        force_grad_mode=args.force_grad_mode,
     )
     import jax.numpy as jnp
 
@@ -137,6 +142,19 @@ def main():
             headroom=1.3,
         )
         print(f"# probed cell_capacity: {trainer._cell_capacity}")
+    if h["fused_attention"] or h["fused_message"]:
+        if not args.plan_width:
+            # mirror Trainer.fit's gather-plan shape probe (batch is already
+            # spatially sorted above — the order the in-step plans see)
+            from torchmdnet_tpu.ops.pallas.onehot_gather import (
+                suggest_plan_shape,
+            )
+
+            trainer._plan_shape = suggest_plan_shape(
+                jax.device_get(trainer.model.neighbors(batch).idx),
+                block_rows=args.plan_rows or 16,
+            )
+            print("# probed gather-plan shape: R=%d W=%d A=%d" % trainer._plan_shape)
     params = model.init(jax.random.PRNGKey(0), batch)
     opt_state = trainer.optimizer.init(params)
     acc = jnp.zeros(4)

@@ -294,3 +294,57 @@ def onehot_transpose_sum(g, plan: BlockGatherPlan, *, interpret: bool = None):
     picked = flat[slots]  # (N, A, F)
     picked = jnp.where(plan.inv_valid[..., None], picked, 0.0)
     return picked.sum(axis=1).astype(g.dtype)
+
+
+def suggest_plan_shape(idx, *, block_rows: int = 16, headroom: float = 1.25):
+    """Setup-time probe: tight static (R, W, A) gather-plan capacities.
+
+    Every fused-kernel matmul carries the plan width W: the one-hot
+    selection matrices are (R*Kc, W) and the source tables (W, F), so FLOPs
+    scale LINEARLY with W in all three kernels (fwd/bwd/bwd2) — measured on
+    DHFR force training, the default W=512/R=32 runs 188.6 ms/step where the
+    probed W=256/R=16 runs 110.9 (PERF.md r4).  The safe default must cover
+    the densest block of ANY system, so it over-provisions most; this probe
+    (same contract as ``cell_list.suggest_cell_capacity``) sizes W and the
+    inverse-table capacity A from one CONCRETE neighbor list (setup / first
+    batch — NumPy math, no device traffic).  Capacity drift on later batches
+    stays loudly detected: plan overflow feeds the trainer's per-batch
+    surveillance and ``NeighborList.raise_on_overflow``.
+
+    Args:
+        idx: (N, K) concrete ELL neighbor ids (masked slots self-point).
+        block_rows: preferred R; halved (min 8) until it divides N, like
+            ``Potential.neighbors``.  R=16 measures best at protein density
+            (smaller R narrows W; below 16 the per-block grid overhead and
+            repeated source loads win, PERF.md r4 sweep).
+        headroom: margin over the observed max occupancy (MD/training:
+            atoms drift between rebuilds; 1.0 is exact for static benches).
+
+    Returns:
+        (block_rows, width, inv_capacity) ready for
+        ``make_block_gather_plan`` / ``Potential.neighbors``.
+    """
+    import numpy as np
+
+    idx = np.asarray(idx)
+    n, k = idx.shape
+    r = block_rows
+    while r > 8 and n % r != 0:
+        r //= 2
+    if n % r != 0:
+        raise ValueError(f"no block_rows <= {block_rows} divides N={n}")
+    nb = n // r
+    s = np.sort(idx.reshape(nb, r * k), axis=1)
+    new = np.concatenate(
+        [np.ones((nb, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+    )
+    max_unique = int(new.sum(axis=1).max())
+    width = max(128, -(-int(max_unique * headroom) // 128) * 128)
+    # blocks per source -> inverse-table capacity A
+    pairs = np.unique(
+        idx.reshape(nb, r * k).astype(np.int64)
+        + np.arange(nb, dtype=np.int64)[:, None] * n
+    )
+    max_blocks = int(np.bincount(pairs % n, minlength=n).max())
+    inv_capacity = max(8, -(-int(max_blocks * headroom) // 4) * 4)
+    return r, width, inv_capacity

@@ -128,8 +128,8 @@ def get_args(argv=None):
     parser.add_argument('--fused-message', type=str2bool, default=False, help='Route the tensornet message phase (edge MLP + gather + weighted reduce) through the fused Pallas kernel (same requirements/behavior as --fused-attention)')
     parser.add_argument('--edge-partition', type=str2bool, default=False, help='Shard each batch\'s ATOM rows over the device mesh (ring schedule, O(N/D) per-device memory) instead of data parallelism over molecules — for batches of one huge molecule that exceed one chip\'s HBM. Energy and force losses both work; pair priors run ring-partitioned too')
     parser.add_argument('--edge-boundary-limit', type=int, default=65536, help='Upper limit on the ring boundary capacity sized from the first batch (edge-partition mode)')
-    parser.add_argument('--plan-block-rows', type=int, default=32, help='Receiver rows per block of the fused-kernel gather plan (reduced automatically until it divides the padded atom count)')
-    parser.add_argument('--plan-width', type=int, default=512, help='Unique-source capacity per gather-plan block (multiple of 128). Must cover the densest block; overflow fails loudly via the per-batch capacity surveillance')
+    parser.add_argument('--plan-block-rows', type=int, default=0, help='Receiver rows per block of the fused-kernel gather plan (reduced automatically until it divides the padded atom count). 0 = auto (the batch0 probe uses 16, the measured best at protein density)')
+    parser.add_argument('--plan-width', type=int, default=0, help='Unique-source capacity per gather-plan block (multiple of 128). 0 = auto: probed from the first batch at fit() setup (fused-kernel FLOPs scale linearly with this width). Must cover the densest block; overflow fails loudly via the per-batch capacity surveillance')
     parser.add_argument('--steps-per-dispatch', type=int, default=8, help='Optimizer steps fused into one device dispatch (lax.scan over stacked batches). Amortizes per-dispatch host overhead; numerics unchanged. Set 1 to dispatch each step individually.')
     parser.add_argument('--loader-buckets', type=int, default=1, help='Size buckets for batch padding (1 = single worst-case capacity). For heterogeneous datasets (e.g. SPICE) 3-4 buckets cut padded-atom waste several-fold at the cost of one compiled executable per bucket; batches become size-homogeneous (standard bucket-by-length trade-off).')
     parser.add_argument('--standardize', type=bool, default=False, help='If true, multiply prediction by dataset std and add mean')

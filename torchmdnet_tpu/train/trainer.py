@@ -89,6 +89,9 @@ class Trainer:
         )
         self._cell_capacity = None  # probed from batch0 at fit() setup
         self._max_cells = None  # probed alongside (sparse/hollow systems)
+        # (R, W, A) gather-plan shape: probed from batch0 at fit() setup
+        # when plan_width is 0/unset (auto), else the explicit hparams
+        self._plan_shape = None
         # --edge-partition: train with the batch's ATOM rows sharded over the
         # mesh (ring schedule, O(N/D) per-device memory) instead of data
         # parallelism over molecules.  The executor is sized from the first
@@ -213,11 +216,17 @@ class Trainer:
             cell_kwargs["cell_capacity"] = self._cell_capacity
         if self._max_cells:
             cell_kwargs["max_cells"] = self._max_cells
+        r, w, a = self._plan_shape or (
+            int(self.h.get("plan_block_rows", 32) or 32),
+            int(self.h.get("plan_width", 512) or 512),
+            16,
+        )
         nbl = self.model.neighbors(
             batch,
             gather_plan=self._fused,
-            plan_block_rows=int(self.h.get("plan_block_rows", 32) or 32),
-            plan_width=int(self.h.get("plan_width", 512) or 512),
+            plan_block_rows=r,
+            plan_width=w,
+            plan_inv_capacity=a,
             **cell_kwargs,
         )
         flags = [nbl.overflow()]
@@ -519,6 +528,28 @@ class Trainer:
         # for the model's list AND for every prior-internal list (ZBL/D2/
         # Coulomb build their own with their own cutoff/capacity)
         self.model.neighbors(batch0).raise_on_overflow("the first training batch")
+        if self._fused and not self.h.get("plan_width"):
+            # Setup-time gather-plan shape probe (onehot_gather.
+            # suggest_plan_shape): the fused kernels' FLOPs scale linearly
+            # with the plan width, and the safe default (512) leaves ~1.7x
+            # on dense single-molecule systems (PERF.md r4).  Probed on the
+            # SORTED batch0 — that is the atom order the in-step plans see
+            # (_prepare_batch).  Later denser batches trip the per-batch
+            # plan-overflow surveillance loudly.
+            from torchmdnet_tpu.data.batch import spatial_sort
+            from torchmdnet_tpu.ops.pallas.onehot_gather import (
+                suggest_plan_shape,
+            )
+
+            b0s, _ = spatial_sort(batch0, cell=h.get("cutoff_upper", 5.0))
+            self._plan_shape = suggest_plan_shape(
+                jax.device_get(self.model.neighbors(b0s).idx),
+                block_rows=int(self.h.get("plan_block_rows") or 16),
+            )
+            print(
+                "probed gather-plan shape: R=%d W=%d A=%d"
+                % self._plan_shape
+            )
         # Setup-time cell-capacity probe (ops/cell_list.suggest_cell_capacity):
         # when training large single molecules (the cell strategy's regime),
         # the in-step neighbor build's tile costs scale with 27*cell_capacity
