@@ -145,15 +145,36 @@ def main():
     if h["fused_attention"] or h["fused_message"]:
         if not args.plan_width:
             # mirror Trainer.fit's gather-plan shape probe (batch is already
-            # spatially sorted above — the order the in-step plans see)
+            # spatially sorted above — the order the in-step plans see).
+            # Like the trainer, the probe list rides the probed cell
+            # capacities and is overflow-checked: a silently truncated
+            # batch0 list would undersize W and the bench would time wrong
+            # numerics.
             from torchmdnet_tpu.ops.pallas.onehot_gather import (
                 suggest_plan_shape,
             )
 
+            cell_kwargs = (
+                {"cell_capacity": trainer._cell_capacity}
+                if trainer._cell_capacity
+                else {}
+            )
+            probe_nbl = trainer.model.neighbors(batch, **cell_kwargs)
+            # Per-atom K truncation is deliberate here (the reference's
+            # radius_graph truncates to max_num_neighbors the same way, see
+            # bench.py) — but a CELL overflow would silently drop candidate
+            # atoms and undersize W, so that one is fatal.
+            if probe_nbl.cell_overflow is not None and bool(
+                np.asarray(probe_nbl.cell_overflow)
+            ):
+                raise ValueError(
+                    "benchmark plan-shape probe: cell capacity overflowed"
+                )
             trainer._plan_shape = suggest_plan_shape(
-                jax.device_get(trainer.model.neighbors(batch).idx),
+                jax.device_get(probe_nbl.idx),
                 block_rows=args.plan_rows or 16,
             )
+            assert trainer._plan_shape is not None, "padded N not divisible by 8"
             print("# probed gather-plan shape: R=%d W=%d A=%d" % trainer._plan_shape)
     params = model.init(jax.random.PRNGKey(0), batch)
     opt_state = trainer.optimizer.init(params)

@@ -159,3 +159,33 @@ def test_inv_capacity_overflow_detected():
         pytest.skip("inverse table fits capacity 8")
     with pytest.raises(ValueError, match="inverse capacity"):
         nbl.replace(gather_plan=plan).raise_on_overflow("test")
+
+
+def test_suggest_plan_shape_capacities_fit():
+    """The probe's (R, W, A) must hold the probed list with zero plan
+    overflow at headroom=1.0 (mirrors the cell_list probe tests): W covers
+    the densest block's unique sources and A the max blocks-per-source."""
+    from torchmdnet_tpu.ops.pallas.onehot_gather import suggest_plan_shape
+
+    for seed in range(3):
+        nbl = _valid_list(n=160, seed=seed)
+        shape = suggest_plan_shape(
+            jax.device_get(nbl.idx), block_rows=16, headroom=1.0
+        )
+        assert shape is not None
+        r, w, a = shape
+        assert 160 % r == 0 and w % 128 == 0
+        plan = make_block_gather_plan(
+            nbl.idx, block_rows=r, width=w, inv_capacity=a
+        )
+        assert int(plan.overflow) == 0, "probed width W overflowed"
+        assert int(plan.inv_overflow) == 0, "probed inv capacity A overflowed"
+
+
+def test_suggest_plan_shape_indivisible_returns_none():
+    """N not divisible by any block_rows <= 8: the probe returns None (the
+    Potential.neighbors contract — no plan attached, no crash at setup)."""
+    from torchmdnet_tpu.ops.pallas.onehot_gather import suggest_plan_shape
+
+    idx = np.zeros((27, 4), np.int32)  # 27 is odd: no r <= 8 divides it
+    assert suggest_plan_shape(idx, block_rows=16) is None

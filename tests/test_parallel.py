@@ -194,3 +194,35 @@ def test_ring_gather_aggregate_under_jit_with_grad():
     gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_ring_comm_stats_accounting():
+    """ICI byte accounting (round-4 verdict item 6): per-hop bytes are
+    O(N/D) — exactly one resident chunk — and the boundary-edge count
+    matches an independent host-side recount.  On a spatially local list
+    the boundary fraction is a surface term (<< the 7/8 a random list
+    gives), which is the compaction the ring's overlap story rests on."""
+    from torchmdnet_tpu.parallel.edge_partition import ring_comm_stats
+
+    h = 16
+    row_bytes = 2 * 7 * h  # fused-ET-style bf16 (7H) source rows
+    for d in (4, 8):
+        mesh = Mesh(np.array(jax.devices()[:d]), ("dp",))
+        x, idx, mask, w, _ = _ring_problem(local_bias=True)
+        stats = ring_comm_stats(idx, mask, mesh, row_bytes=row_bytes)
+        n = idx.shape[0]
+        assert stats.d == d and stats.hops == d - 1
+        assert stats.n_local == n // d
+        # comm volume per hop is one chunk: O(N/D), independent of edges
+        assert stats.bytes_per_hop == (n // d) * row_bytes
+        assert stats.total_bytes == (d - 1) * stats.bytes_per_hop
+        # boundary count == independent recount
+        n_local = n // d
+        owner = np.asarray(idx) // n_local
+        me = np.repeat(np.arange(d), n_local)[:, None]
+        expect_boundary = int((np.asarray(mask) & (owner != me)).sum())
+        assert stats.edges_boundary == expect_boundary
+        assert stats.edges_total == int(np.asarray(mask).sum())
+        # locality keeps boundary edges a surface term: far below the
+        # (d-1)/d fraction a spatially random list would show
+        assert stats.boundary_fraction < 0.5 * (d - 1) / d, stats

@@ -1,7 +1,9 @@
 """Pallas TPU kernels.
 
 :func:`fused_kernel_mode` is the single platform gate for the fused
-edge-phase kernels (et_message.py / tn_message.py / gn_message.py): they run
+edge-phase kernels (et_message.py / tn_message.py / t_message.py — GN
+deliberately has no fused kernel; its edge phase already sits on the
+row-gather floor, see benchmarks/exp_gn_floor.py and PERF.md): they run
 compiled on a real TPU (incl. the 'axon' tunnel platform), in interpret mode
 only when a test explicitly opts in via TORCHMDNET_TPU_INTERPRET_FUSED=1, and
 are otherwise skipped in favor of the composable path — interpret mode is

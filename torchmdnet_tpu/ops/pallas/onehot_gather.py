@@ -322,7 +322,11 @@ def suggest_plan_shape(idx, *, block_rows: int = 16, headroom: float = 1.25):
 
     Returns:
         (block_rows, width, inv_capacity) ready for
-        ``make_block_gather_plan`` / ``Potential.neighbors``.
+        ``make_block_gather_plan`` / ``Potential.neighbors`` — or ``None``
+        when no block_rows <= 8 divides N, mirroring the
+        ``Potential.neighbors`` contract (which silently skips plan
+        attachment in the same situation; the fused model path then fails
+        loudly at apply if a plan was actually required).
     """
     import numpy as np
 
@@ -332,7 +336,7 @@ def suggest_plan_shape(idx, *, block_rows: int = 16, headroom: float = 1.25):
     while r > 8 and n % r != 0:
         r //= 2
     if n % r != 0:
-        raise ValueError(f"no block_rows <= {block_rows} divides N={n}")
+        return None
     nb = n // r
     s = np.sort(idx.reshape(nb, r * k), axis=1)
     new = np.concatenate(

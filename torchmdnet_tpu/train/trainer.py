@@ -216,10 +216,12 @@ class Trainer:
             cell_kwargs["cell_capacity"] = self._cell_capacity
         if self._max_cells:
             cell_kwargs["max_cells"] = self._max_cells
+        # 0-value fallbacks match the probe's defaults (scripts/train.py
+        # help text: plan_block_rows 0 resolves to 16 either way)
         r, w, a = self._plan_shape or (
-            int(self.h.get("plan_block_rows", 32) or 32),
+            int(self.h.get("plan_block_rows", 16) or 16),
             int(self.h.get("plan_width", 512) or 512),
-            16,
+            int(self.h.get("plan_inv_capacity", 32) or 32),
         )
         nbl = self.model.neighbors(
             batch,
@@ -511,52 +513,19 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
 
         batch0 = next(iter(train_loader))
-        if self._edge_partition:
-            # size the ring boundary capacities once from batch 0 (one host
-            # fetch at setup); later denser batches are covered by the
-            # accumulated RingContext.overflow surveillance
-            from torchmdnet_tpu.data.batch import spatial_sort
-            from torchmdnet_tpu.parallel.edge_partition import sized_ring_executor
-
-            b0, _ = spatial_sort(batch0, cell=h.get("cutoff_upper", 5.0))
-            self._ring = sized_ring_executor(
-                self.model, b0, self.mesh,
-                boundary_limit=int(h.get("edge_boundary_limit", 65536) or 65536),
-            )
         # loud config checks (reference Distance assert): a too-small
         # max_num_neighbors silently truncates neighbor lists otherwise —
         # for the model's list AND for every prior-internal list (ZBL/D2/
         # Coulomb build their own with their own cutoff/capacity)
         self.model.neighbors(batch0).raise_on_overflow("the first training batch")
-        if self._fused and not self.h.get("plan_width"):
-            # Setup-time gather-plan shape probe (onehot_gather.
-            # suggest_plan_shape): the fused kernels' FLOPs scale linearly
-            # with the plan width, and the safe default (512) leaves ~1.7x
-            # on dense single-molecule systems (PERF.md r4).  Probed on the
-            # SORTED batch0 — that is the atom order the in-step plans see
-            # (_prepare_batch).  Later denser batches trip the per-batch
-            # plan-overflow surveillance loudly.
-            from torchmdnet_tpu.data.batch import spatial_sort
-            from torchmdnet_tpu.ops.pallas.onehot_gather import (
-                suggest_plan_shape,
-            )
-
-            b0s, _ = spatial_sort(batch0, cell=h.get("cutoff_upper", 5.0))
-            self._plan_shape = suggest_plan_shape(
-                jax.device_get(self.model.neighbors(b0s).idx),
-                block_rows=int(self.h.get("plan_block_rows") or 16),
-            )
-            print(
-                "probed gather-plan shape: R=%d W=%d A=%d"
-                % self._plan_shape
-            )
         # Setup-time cell-capacity probe (ops/cell_list.suggest_cell_capacity):
         # when training large single molecules (the cell strategy's regime),
         # the in-step neighbor build's tile costs scale with 27*cell_capacity
         # and the safe default (32) is ~50% padding at protein density.  Size
         # it once from batch0 with drift headroom; a denser LATER batch trips
         # the accumulated per-batch overflow surveillance loudly (same
-        # contract as every other static capacity here).
+        # contract as every other static capacity here).  Runs before the
+        # plan probe / ring sizing below so both see un-truncated lists.
         from torchmdnet_tpu.ops.cell_list import (
             suggest_cell_capacity,
             suggest_max_cells,
@@ -574,6 +543,60 @@ class Trainer:
                 batch0.pos,
                 batch0.atom_mask,
                 cutoff_upper=h.get("cutoff_upper", 5.0),
+            )
+        probe_cell_kwargs = {}
+        if self._cell_capacity:
+            probe_cell_kwargs["cell_capacity"] = self._cell_capacity
+        if self._max_cells:
+            probe_cell_kwargs["max_cells"] = self._max_cells
+        b0s = None
+        if self._fused or self._edge_partition:
+            # the SORTED batch0 is the atom order every in-step plan sees
+            # (_prepare_batch); one sort shared by the plan probe and the
+            # ring sizing below
+            from torchmdnet_tpu.data.batch import spatial_sort
+
+            b0s, _ = spatial_sort(batch0, cell=h.get("cutoff_upper", 5.0))
+        if self._fused and not self.h.get("plan_width"):
+            # Setup-time gather-plan shape probe (onehot_gather.
+            # suggest_plan_shape): the fused kernels' FLOPs scale linearly
+            # with the plan width, and the safe default (512) leaves ~1.7x
+            # on dense single-molecule systems (PERF.md r4).  Later denser
+            # batches trip the per-batch plan-overflow surveillance loudly.
+            # The probe list rides the probed cell capacities and is
+            # overflow-checked: a silently truncated batch0 list would
+            # undersize W.
+            from torchmdnet_tpu.ops.pallas.onehot_gather import (
+                suggest_plan_shape,
+            )
+
+            probe_nbl = self.model.neighbors(b0s, **probe_cell_kwargs)
+            probe_nbl.raise_on_overflow("the gather-plan shape probe")
+            self._plan_shape = suggest_plan_shape(
+                jax.device_get(probe_nbl.idx),
+                block_rows=int(self.h.get("plan_block_rows") or 16),
+            )
+            if self._plan_shape is None:
+                print(
+                    "gather-plan shape probe: no block_rows <= 16 divides "
+                    f"N={batch0.num_atoms}; using the static plan defaults"
+                )
+            else:
+                print(
+                    "probed gather-plan shape: R=%d W=%d A=%d"
+                    % self._plan_shape
+                )
+        if self._edge_partition:
+            # size the ring boundary capacities once from batch 0 (one host
+            # fetch at setup); later denser batches are covered by the
+            # accumulated RingContext.overflow surveillance.  The probed
+            # plan shape (above) sizes the ring path's gather plans too.
+            from torchmdnet_tpu.parallel.edge_partition import sized_ring_executor
+
+            self._ring = sized_ring_executor(
+                self.model, b0s, self.mesh,
+                boundary_limit=int(h.get("edge_boundary_limit", 65536) or 65536),
+                plan_shape=self._plan_shape,
             )
         for prior in self.model.module.priors:
             prior.check_neighbor_capacity(batch0, "the first training batch")
