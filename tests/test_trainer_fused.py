@@ -163,30 +163,51 @@ def test_later_batch_overflow_raises_in_eval(tmp_path):
         trainer.fit(data)
 
 
-def test_fused_attention_engages_in_training(tmp_path, monkeypatch):
-    """--fused-attention under Trainer.fit routes the edge phase through the
-    Pallas kernel (plan built + batch spatially sorted by the trainer)."""
-    import torchmdnet_tpu.ops.pallas.et_message as etm
+_FUSED_KERNEL_ENTRY = {
+    # model name -> (kernel module path, public op symbol, extra hparams)
+    "equivariant-transformer": (
+        "torchmdnet_tpu.ops.pallas.et_message", "fused_et_messages",
+        dict(fused_attention=True, num_heads=8, attn_activation="silu",
+             distance_influence="both"),
+    ),
+    "transformer": (
+        "torchmdnet_tpu.ops.pallas.t_message", "fused_t_messages",
+        dict(fused_attention=True, num_heads=8, attn_activation="silu",
+             distance_influence="both"),
+    ),
+    "tensornet": (
+        "torchmdnet_tpu.ops.pallas.tn_message", "fused_tn_messages",
+        dict(fused_message=True, equivariance_invariance_group="O(3)"),
+    ),
+}
+
+
+@pytest.mark.parametrize("model_name", sorted(_FUSED_KERNEL_ENTRY))
+def test_fused_kernel_engages_in_training(tmp_path, monkeypatch, model_name):
+    """--fused-attention / --fused-message under Trainer.fit routes the edge
+    phase through the model's Pallas kernel (plan built + batch spatially
+    sorted by the trainer) — for ET, T and TensorNet alike (the T wiring is
+    the r4 verdict item 7 gap: test_t_fused covers the model API only)."""
+    import importlib
+
+    mod_path, symbol, extra = _FUSED_KERNEL_ENTRY[model_name]
+    kmod = importlib.import_module(mod_path)
 
     calls = []
-    orig = etm.fused_et_messages
+    orig = getattr(kmod, symbol)
 
     def spy(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(etm, "fused_et_messages", spy)
+    monkeypatch.setattr(kmod, symbol, spy)
 
     h = _base_hparams(
         tmp_path,
-        model="equivariant-transformer",
+        model=model_name,
         embedding_dimension=128,  # fused requires a 128-multiple
-        num_heads=8,
-        attn_activation="silu",
-        distance_influence="both",
         neighbor_embedding=False,
         bf16_messages=True,
-        fused_attention=True,
         plan_block_rows=8,
         plan_width=128,
         train_size=2,
@@ -194,6 +215,7 @@ def test_fused_attention_engages_in_training(tmp_path, monkeypatch):
         test_size=1,
         batch_size=1,
         inference_batch_size=1,
+        **extra,
     )
     ds = DummyDataset(num_samples=4, num_atoms=6, has_forces=False, seed=3)
     data = DataModule(h, dataset=ds)
@@ -201,7 +223,7 @@ def test_fused_attention_engages_in_training(tmp_path, monkeypatch):
     model = create_model(h)
     trainer = Trainer(model, h)
     state = trainer.fit(data)
-    assert calls, "fused_et_messages was never traced under Trainer.fit"
+    assert calls, f"{symbol} was never traced under Trainer.fit"
     assert state.global_step == 2
 
 

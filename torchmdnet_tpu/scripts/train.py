@@ -123,7 +123,7 @@ def get_args(argv=None):
     parser.add_argument('--max-num-neighbors', type=int, default=32, help='Maximum number of neighbors to consider in the network')
     parser.add_argument('--remat', type=str2bool, default=False, help='Rematerialize each interaction layer in backward passes (O(1)-layer residual memory; needed for force training/evaluation on very large systems)')
     parser.add_argument('--bf16-messages', type=str2bool, default=False, help='Quantize message-passing gathers/products to bfloat16 with float32 accumulation (TPU HBM-traffic optimization; ~1.5x on TensorNet at protein sizes)')
-    parser.add_argument('--fused-attention', type=str2bool, default=False, help='Route the equivariant-transformer or transformer edge phase through the fused Pallas kernel (requires bf16-messages; the trainer builds the gather plan and spatially sorts batches). Energy training ~1.6x faster at protein scale; force-loss training also works (composable second-order rule for the outer pass) but is currently FASTER with the flag off — see PERF.md. Composes with --edge-partition (ring-assembled source tables)')
+    parser.add_argument('--fused-attention', type=str2bool, default=False, help='Route the equivariant-transformer or transformer edge phase through the fused Pallas kernels (requires bf16-messages; the trainer builds the gather plan and spatially sorts batches). Faster for energy AND force-loss training at protein scale (the second-order pass runs a fused VJP-of-VJP kernel — PERF.md r5: ET forces 175 vs 204 ms/step). Composes with --edge-partition (ring-assembled source tables)')
     parser.add_argument('--force-grad-mode', type=str, default='gradgrad', choices=['gradgrad', 'jvp'], help='Force-loss gradient formulation: nested reverse ("gradgrad", default) or forward-over-reverse ("jvp", -jvp_pos(grad_theta E; g)); mathematically identical (parity-tested), gradgrad measured faster on this platform')
     parser.add_argument('--fused-message', type=str2bool, default=False, help='Route the tensornet message phase (edge MLP + gather + weighted reduce) through the fused Pallas kernel (same requirements/behavior as --fused-attention)')
     parser.add_argument('--edge-partition', type=str2bool, default=False, help='Shard each batch\'s ATOM rows over the device mesh (ring schedule, O(N/D) per-device memory) instead of data parallelism over molecules — for batches of one huge molecule that exceed one chip\'s HBM. Energy and force losses both work; pair priors run ring-partitioned too')
