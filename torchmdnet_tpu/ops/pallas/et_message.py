@@ -836,6 +836,8 @@ def _run_bwd2(
     f7 = 7 * h
     # the nested-autodiff chunk body roughly triples the backward kernel's
     # per-chunk live set; halve the K-chunk to keep it inside scoped VMEM
+    # (r5 sweep: kc=16 measured within ~1% of kc=8 on 8x256 DHFR force
+    # training — not worth the larger live set at bigger H)
     kc = max(8, cfg.kc // 2)
     kern = functools.partial(
         _bwd2_kernel, w=w, kc=kc, h=h, act=cfg.act, attn_act=cfg.attn_act,

@@ -575,9 +575,13 @@ def _tn_bwd2_op(cfg, plan, inputs, ct, Z):
     r = n // nb
     xw = _table_gather(cfg, cat, plan)
     z_xw = _table_gather(cfg, z_cat.astype(cat.dtype), plan)
-    # the nine per-component autodiff chains keep many (W, H) temporaries
-    # live at once — the smallest chunk bounds the rest of the working set
-    kc = 2
+    # K-chunk: bigger chunks mean fuller MXU calls (R*kc rows) and fewer
+    # per-chunk autodiff re-traversals; the r5 sweep (DHFR 2x128 K=64 force
+    # training, ms/step) measured kc=2: 106.5, 4: 85.6, 8: 70.7, 16: 66.4,
+    # 32: 65.5 — saturating at 16, which jit_vmem_retry's raised scoped-VMEM
+    # rungs accommodate (the nine per-component chains' temporaries scale
+    # with kc, so kc=2 was the only size fitting the DEFAULT 16 MB limit).
+    kc = max(2, min(2 * cfg.kc, k))
     kern = functools.partial(_tn_bwd2_kernel, w=w, kc=kc, h=h, act=cfg.act)
     nk = lambda: pl.BlockSpec((r, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
     blk = lambda *s: pl.BlockSpec(
