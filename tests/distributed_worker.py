@@ -8,7 +8,11 @@ Usage: python distributed_worker.py <rank> <port> <log_dir> [mode]
 
 mode: "dp" (default) — data-parallel trainer;
       "ring" — --edge-partition trainer (atom rows of one molecule sharded
-      over the 2-process x 2-device mesh through the ring schedule).
+      over the 2-process x 2-device mesh through the ring schedule);
+      "fused_ring" — --edge-partition x --fused-attention ET (the fused
+      Pallas kernels, interpret mode on CPU, with ring-scheduled source
+      tables across the 2-process mesh; force loss, so the second-order
+      kernels ride the ring too).
 """
 
 import os
@@ -48,9 +52,17 @@ from torchmdnet_tpu.parallel.mesh import make_mesh  # noqa: E402
 from torchmdnet_tpu.train.trainer import Trainer  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from distributed_config import make_hparams, make_ring_hparams  # noqa: E402
+from distributed_config import (  # noqa: E402
+    make_fused_ring_hparams,
+    make_hparams,
+    make_ring_hparams,
+)
 
-if mode == "ring":
+if mode == "fused_ring":
+    os.environ["TORCHMDNET_TPU_INTERPRET_FUSED"] = "1"
+    h = make_fused_ring_hparams(log_dir)
+    ds = DummyDataset(num_samples=4, num_atoms=64, seed=3)
+elif mode == "ring":
     h = make_ring_hparams(log_dir)
     ds = DummyDataset(num_samples=8, num_atoms=14, seed=3)
 else:

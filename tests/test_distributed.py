@@ -166,3 +166,69 @@ def test_two_process_ring_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+@pytest.mark.slow
+def test_two_process_fused_ring_matches_single_process(tmp_path):
+    """Multi-host --edge-partition x --fused-attention (r4 verdict item 2):
+    two REAL OS processes train a 2-layer 128-channel ET on 64-atom
+    molecules with energy+force loss, the fused Pallas kernels (interpret
+    mode) consuming ring-assembled source tables across the 2-process
+    4-device mesh.  Must reproduce the single-process FUSED trainer (same
+    kernels, no ring) — isolating the multi-process ring axis."""
+    dist_dir = tmp_path / "dist_fused_ring"
+    dist_dir.mkdir()
+    outs = _run_two_process(dist_dir, mode="fused_ring")
+    assert "done, global_step=2" in outs[0] + outs[1]
+
+    sys.path.insert(0, TESTS_DIR)
+    from distributed_config import make_fused_ring_hparams
+
+    from torchmdnet_tpu.data.datasets import DummyDataset
+    from torchmdnet_tpu.data.module import DataModule
+    from torchmdnet_tpu.models.potential import create_model
+    from torchmdnet_tpu.train.trainer import Trainer
+
+    ref_dir = tmp_path / "single_fused"
+    ref_dir.mkdir()
+    h = make_fused_ring_hparams(ref_dir)
+    h["edge_partition"] = False  # keep fused_attention on
+    ds = DummyDataset(num_samples=4, num_atoms=64, seed=3)
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h, mesh=None)
+    state = trainer.fit(data)
+
+    def read_metrics(d):
+        with open(os.path.join(str(d), "metrics.csv")) as f:
+            return list(csv.DictReader(f))
+
+    rows_dist = read_metrics(dist_dir)
+    rows_ref = read_metrics(ref_dir)
+    assert len(rows_dist) == len(rows_ref) == 1
+    for rd, rr in zip(rows_dist, rows_ref):
+        for key in ("train_total_mse_loss", "val_total_mse_loss",
+                    "val_neg_dy_l1_loss"):
+            np.testing.assert_allclose(
+                float(rd[key]), float(rr[key]), rtol=5e-3,
+                err_msg=f"{key} differs between 2-process fused-ring and "
+                "single-process fused",
+            )
+
+    from torchmdnet_tpu.train.checkpoints import load_checkpoint
+
+    ckpt = load_checkpoint(os.path.join(str(dist_dir), "final.ckpt"))
+    import jax
+
+    ref_leaves = jax.tree_util.tree_leaves(state.params)
+    dist_leaves = jax.tree_util.tree_leaves(ckpt["params"])
+    assert len(ref_leaves) == len(dist_leaves)
+    # bf16 message kernels + ring-reordered f32 accumulation: tiny gradient
+    # differences pass through AdamW's sign-sensitive normalization, so a
+    # handful of the 16k+ weights drift ~0.7% after 2 steps (losses above
+    # agree to 5e-3)
+    for a, b in zip(ref_leaves, dist_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1.5e-2, atol=1e-4
+        )
