@@ -258,9 +258,9 @@ def main():
         ("gn_stmv_force_md_ms_per_step", "graph-network",
          dict(k=80, remat=True)),
         ("et_fused_stmv_force_md_ms_per_step", "equivariant-transformer",
-         dict(k=80, remat=True, fused=True, plan_rows=32, plan_width=640)),
+         dict(k=80, remat=True, fused=True)),
         ("tensornet_fused_stmv_force_md_ms_per_step", "tensornet",
-         dict(k=64, remat=True, fused=True, plan_rows=32, plan_width=640)),
+         dict(k=64, remat=True, fused=True)),
     ):
         try:
             ms = stmv_md_ms(model_name, **md_kw)
@@ -421,9 +421,28 @@ def stmv_md_ms(
     mc = suggest_max_cells(batch.pos, batch.atom_mask, cutoff_upper=cut)
     nkw = {"cell_capacity": cap, "max_cells": mc}
     if fused:
+        if not plan_width:
+            # probe the tight (R, W, A) on the real skin list — the fused
+            # kernels' MXU work scales with W (r5: probed R=16/W=384 at STMV
+            # vs the old fixed R=32/W=640: ET MD 1329 -> 901 ms/step)
+            from torchmdnet_tpu.ops.pallas.onehot_gather import (
+                suggest_plan_shape,
+            )
+
+            probe = model.neighbors(
+                batch, skin=skin, cell_capacity=cap, max_cells=mc
+            )
+            shape = suggest_plan_shape(
+                jax.device_get(probe.idx), block_rows=plan_rows or 16,
+                headroom=1.15,
+            )
+            assert shape is not None
+            plan_rows, plan_width, inv_a = shape
+        else:
+            inv_a = 16 * max(1, 32 // plan_rows)
         nkw.update(
             gather_plan=True, plan_width=plan_width, plan_block_rows=plan_rows,
-            plan_inv_capacity=16 * max(1, 32 // plan_rows),
+            plan_inv_capacity=inv_a,
         )
     sim = Simulation(
         model, params, batch, timestep_fs=1.0, temperature_K=300.0,

@@ -24,22 +24,31 @@ from torchmdnet_tpu.profiling import device_ms_per_iter, trace_summary
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--system", default="dhfr")
     ap.add_argument("--k", type=int, default=32)
-    ap.add_argument("--cap", type=int, default=32)
+    ap.add_argument("--cap", type=int, default=0, help="0 = occupancy probe")
     ap.add_argument("--no-trace", action="store_true")
     args = ap.parse_args()
 
-    z, pos, src = get_system("dhfr")
+    z, pos, src = get_system(args.system)
     print(f"# system source: {src}")
     n = (len(z) + 7) // 8 * 8
     posp = jnp.zeros((n, 3), jnp.float32).at[: len(z)].set(jnp.asarray(pos))
     mask = jnp.arange(n) < len(z)
     batch = jnp.zeros((n,), jnp.int32)
+    if not args.cap:
+        from torchmdnet_tpu.ops.cell_list import suggest_cell_capacity
+
+        args.cap = suggest_cell_capacity(posp, mask, cutoff_upper=5.0, headroom=1.1)
+        print(f"# probed cell_capacity: {args.cap}")
+    from torchmdnet_tpu.ops.cell_list import suggest_max_cells
+
+    mc = suggest_max_cells(posp, mask, cutoff_upper=5.0)
 
     def consume(p):
         nbl = neighbor_list_cell(
             p, batch, mask, k=args.k, cutoff_upper=5.0,
-            cell_capacity=args.cap,
+            cell_capacity=args.cap, max_cells=mc,
         )
         # consume everything so nothing DCEs
         return (

@@ -38,8 +38,9 @@ def main():
     ap.add_argument("--k", type=int, default=80, help="max_num_neighbors")
     ap.add_argument("--gather-plan", action="store_true",
                     help="spatial-sort atoms and route gathers via the one-hot MXU plan")
-    ap.add_argument("--plan-width", type=int, default=640)
-    ap.add_argument("--plan-rows", type=int, default=32)
+    ap.add_argument("--plan-width", type=int, default=0,
+                    help="0 = auto: probe (R, W, A) from the skin list (suggest_plan_shape; r5: STMV probes R=16/W=384 where the old fixed default was R=32/W=640 — the fused kernels' MXU work scales with W, ET STMV MD 1329 -> 901 ms/step)")
+    ap.add_argument("--plan-rows", type=int, default=0)
     ap.add_argument("--plan-inv-capacity", type=int, default=0,
                     help="0 = auto (16 * 32/plan_rows)")
     ap.add_argument("--fused-attention", action="store_true",
@@ -100,6 +101,24 @@ def main():
         )
         print(f"# probed max_cells: {args.max_cells}")
 
+    if args.gather_plan and not args.plan_width:
+        # probe the tight (R, W, A) on the REAL skin list the MD loop builds
+        from torchmdnet_tpu.ops.pallas.onehot_gather import suggest_plan_shape
+
+        probe_nbl = model.neighbors(
+            batch, skin=args.skin, cell_capacity=args.cell_capacity,
+            max_cells=args.max_cells,
+        )
+        shape = suggest_plan_shape(
+            jax.device_get(probe_nbl.idx),
+            block_rows=args.plan_rows or 16, headroom=1.15,
+        )
+        assert shape is not None, "padded N not divisible by 8"
+        args.plan_rows, args.plan_width, probed_a = shape
+        if not args.plan_inv_capacity:
+            args.plan_inv_capacity = probed_a
+        print(f"# probed gather-plan shape: R={args.plan_rows} W={args.plan_width} A={probed_a}")
+
     sim = Simulation(
         model,
         params,
@@ -113,10 +132,10 @@ def main():
             **({"max_cells": args.max_cells} if args.max_cells else {}),
             "cell_capacity": args.cell_capacity,
             "gather_plan": args.gather_plan,
-            "plan_width": args.plan_width,
-            "plan_block_rows": args.plan_rows,
+            "plan_width": args.plan_width or 512,
+            "plan_block_rows": args.plan_rows or 16,
             "plan_inv_capacity": args.plan_inv_capacity
-            or 16 * max(1, 32 // args.plan_rows),
+            or 16 * max(1, 32 // (args.plan_rows or 16)),
         },
     )
     sim.set_velocities_from_temperature(300.0)

@@ -265,3 +265,28 @@ def test_suggest_max_cells_probe():
         jnp.asarray(pos), k=64, cutoff_upper=5.0, cell_capacity=16,
     )
     assert bool(nbl_bad.cell_overflow)
+
+
+def test_cell_soa_branch_matches_brute():
+    """The SoA field-plane formulation (picked when the candidate tile
+    exceeds scoped-VMEM scale; r5 STMV relayout fix) is bitwise identical
+    to brute too — forced here via an oversized max_cells so the static
+    gate flips without needing 30k atoms."""
+    from torchmdnet_tpu.ops import cell_list as cl
+
+    rng = np.random.default_rng(7)
+    n = 512
+    pos = jnp.asarray(rng.uniform(0, 18.0, (n, 3)), jnp.float32)
+    batch = jnp.zeros((n,), jnp.int32)
+    b = neighbor_list(pos, batch, k=48, cutoff_upper=3.0, strategy="brute")
+    # max_cells=4096 x cap 32: tile = 4096*27*32*5*4 B = 70 MB > 16 MB -> SoA
+    c = neighbor_list(
+        pos, batch, k=48, cutoff_upper=3.0, strategy="cell",
+        cell_capacity=32, max_cells=4096,
+    )
+    assert not bool(c.cell_overflow)
+    np.testing.assert_array_equal(np.asarray(b.idx), np.asarray(c.idx))
+    np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(c.mask))
+    np.testing.assert_array_equal(
+        np.asarray(b.n_neighbors), np.asarray(c.n_neighbors)
+    )

@@ -68,12 +68,17 @@ def _compact_topk(key, n, k, loop, atom_mask, use_select_kernel=False):
     use_select_kernel routes through the Pallas min-extraction kernel
     (ops/pallas/select_topk.py) — bitwise-identical, 2.2x faster than the
     XLA sort at cell-tile widths and k<=64 (k=32: 0.19 vs 0.42 ms at DHFR
-    width 648); its k passes cross over the sort around k~80, so larger k
-    keeps the sort.  The cell strategy enables it (its width
+    width 648); its k passes cross over the sort around k~80 at VMEM-
+    resident widths, so larger k keeps the sort THERE — but once the
+    (N, W) key array is HBM-resident the XLA bitonic sort collapses to
+    ~27 GB/s (r5 STMV trace: 6.1 ms) while the kernel's VMEM-tile passes
+    keep their throughput, so big systems route the kernel at any k
+    (k=80 STMV: 5.4 vs 6.1 ms).  The cell strategy enables it (its width
     27*cell_capacity is N-independent), brute (width N) keeps the sort.
     """
     k_eff = min(k, key.shape[1])
-    if use_select_kernel and k_eff <= 64:
+    hbm_resident = key.shape[0] * key.shape[1] * 4 > (16 << 20)
+    if use_select_kernel and (k_eff <= 64 or hbm_resident):
         from torchmdnet_tpu.ops.pallas.select_topk import select_topk
 
         idx = select_topk(key, k_eff, n)
@@ -238,68 +243,132 @@ def _neighbor_list_cell_tiles(
     table_p = jnp.concatenate([table, jnp.full((1, m), n, jnp.int32)], axis=0)
     cand = table_p[nrank].reshape(c_max, 27 * m)  # (C, 27M)
 
-    # Pack per-atom fields into ONE gathered row (PERF: row gathers are
-    # row-count-bound; scalar gathers cost ~4x more per field).
-    packed = jnp.concatenate(
-        [
-            f32pos,
-            batch.astype(f32pos.dtype)[:, None],
-            atom_mask.astype(f32pos.dtype)[:, None],
-        ],
-        axis=1,
-    )  # (N, 5)
-    packed = jnp.concatenate(
-        [packed, jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype)], axis=0
-    )
+    # --- candidate field tiles + per-ATOM filter -----------------------------
+    # Two formulations, picked by the static tile footprint:
+    #
+    # AoS (small systems): per-atom fields packed into ONE gathered row
+    # (PERF: row gathers are row-count-bound; scalar gathers cost ~4x more
+    # per field), folded to (C, M*5) cell rows, expanded by a (C, 27)-row
+    # gather, interleave-reshaped to (C, 27M, 5).  Measured best at DHFR
+    # scale, where the tiles live in scoped VMEM and the interleave is a
+    # cheap lane shuffle (the r4 floor study killed SoA there: 0.836 vs
+    # 0.606 ms — five separate tile merges beat one interleave only when
+    # the buffers leave VMEM).
+    #
+    # SoA (large systems): the SAME two-level whole-cell-row structure per
+    # FIELD PLANE (x, y, z, meta) — four (C, M) -> (C, 27M) -> (N, 27M)
+    # chains with no AoS interleave and no strided component slices.  At
+    # STMV the AoS path's (C, 27M, 5) interleave-reshape and its
+    # (N, 27M, 5) AoS->SoA relayout copies run HBM-resident at ~50 GB/s
+    # (7.4 of 20.3 ms, r5 trace); the planes avoid them entirely.
+    # ``meta`` folds batch id + atom validity into one plane: batch id for
+    # real atoms, -1 for padded/missing (batch ids are >= 0, so
+    # ``ameta == batch`` covers both checks).
+    #
+    # The boundary: the AoS tile (C, 27M, 5) f32 beyond scoped-VMEM scale.
+    soa = c_max * 27 * m * 5 * 4 > (16 << 20)
+    bdt = batch.astype(f32pos.dtype)
+    if soa:
+        atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.where(ok, rank, c_max)
+        )
+        cand_p = jnp.concatenate(
+            [cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0
+        )
+        acand = cand_p[atom_rank]  # (N, 27M)
+        meta = jnp.where(atom_mask, bdt, -1.0)  # (N,)
+        aplanes = []
+        for field, pad in (
+            (f32pos[:, 0], 0.0),
+            (f32pos[:, 1], 0.0),
+            (f32pos[:, 2], 0.0),
+            (meta, -1.0),
+        ):
+            fp = jnp.concatenate(
+                [field, jnp.asarray([pad], f32pos.dtype)]
+            )  # (N+1,)
+            cells = fp[table]  # (C, M)
+            cells = jnp.concatenate(
+                [cells, jnp.full((1, m), pad, f32pos.dtype)], axis=0
+            )
+            tile = cells[nrank].reshape(c_max, 27 * m)  # (C, 27M)
+            tile = jnp.concatenate(
+                [tile, jnp.full((1, 27 * m), pad, f32pos.dtype)], axis=0
+            )
+            aplanes.append(tile[atom_rank])  # (N, 27M)
+        ax, ay, az, ameta = aplanes
+        dx = ax - f32pos[:, None, 0]
+        dy = ay - f32pos[:, None, 1]
+        dz = az - f32pos[:, None, 2]
+        if use_box:
+            dx, dy, dz = _min_image_components(
+                dx, dy, dz, box.astype(f32pos.dtype)
+            )
+        d2 = dx * dx + dy * dy + dz * dz
+        valid = (
+            (acand < n)
+            & (ameta == bdt[:, None])
+            & (acand != iota_n[:, None])
+            & atom_mask[:, None]
+            & (d2 < cutoff_upper * cutoff_upper)
+            & (d2 >= cutoff_lower * cutoff_lower)
+        )
+    else:
+        packed = jnp.concatenate(
+            [f32pos, bdt[:, None], atom_mask.astype(f32pos.dtype)[:, None]],
+            axis=1,
+        )  # (N, 5)
+        packed = jnp.concatenate(
+            [packed, jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype)],
+            axis=0,
+        )
+        packed_cells = packed[table].reshape(c_max, m * 5)  # (C, M*5)
+        packed_cells = jnp.concatenate(
+            [
+                packed_cells,
+                jnp.tile(
+                    jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype),
+                    (1, m),
+                ),
+            ],
+            axis=0,
+        )  # + pad row for nrank == c_max misses
+        pj = packed_cells[nrank].reshape(c_max, 27 * m, 5)  # (C, 27M, 5)
 
-    # Tile enumeration is TWO LEVELS of whole-CELL rows (gathers are
-    # row-count-bound): packed_cells folds each cell's M atoms into one
-    # (M*5)-wide row via a (C, M)-row gather, and the 27-neighbor-cell
-    # expansion then gathers only (C, 27) such rows — ~M*27/28x fewer rows
-    # than gathering per candidate slot.
-    packed_cells = packed[table].reshape(c_max, m * 5)  # (C, M*5)
-    packed_cells = jnp.concatenate(
-        [
-            packed_cells,
-            jnp.tile(
-                jnp.asarray([[0.0, 0.0, 0.0, -1.0, 0.0]], f32pos.dtype), (1, m)
-            ),
-        ],
-        axis=0,
-    )  # + pad row for nrank == c_max misses
-    pj = packed_cells[nrank].reshape(c_max, 27 * m, 5)  # (C, 27M, 5)
+        # The filter used to run on the full (C, M, 27M) slot grid, but only
+        # N of the C*M slots hold real atoms (25-40% at default capacities) —
+        # the rest was wasted VPU/HBM work.  Instead each atom row-gathers
+        # its cell's tile (wide rows are byte-bound, ~roofline) and the
+        # filter runs on exactly (N, 27M).
+        atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.where(ok, rank, c_max)
+        )
+        cand_p = jnp.concatenate(
+            [cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0
+        )
+        pj_p = jnp.concatenate(
+            [pj, jnp.zeros((1, 27 * m, 5), f32pos.dtype)], axis=0
+        )
+        acand = cand_p[atom_rank]  # (N, 27M)
+        apj = pj_p[atom_rank]  # (N, 27M, 5)
 
-    # --- broadcast tiles to atoms, filter per ATOM ---------------------------
-    # The filter used to run on the full (C, M, 27M) slot grid, but only N of
-    # the C*M slots hold real atoms (25-40% at default capacities) — the rest
-    # was wasted VPU/HBM work.  Instead each atom row-gathers its cell's tile
-    # (wide rows are byte-bound, ~45 MB total here, ~roofline) and the filter
-    # runs on exactly (N, 27M).
-    atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(ok, rank, c_max)
-    )
-    cand_p = jnp.concatenate([cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0)
-    pj_p = jnp.concatenate(
-        [pj, jnp.zeros((1, 27 * m, 5), f32pos.dtype)], axis=0
-    )
-    acand = cand_p[atom_rank]  # (N, 27M)
-    apj = pj_p[atom_rank]  # (N, 27M, 5)
-
-    dx = apj[..., 0] - f32pos[:, None, 0]
-    dy = apj[..., 1] - f32pos[:, None, 1]
-    dz = apj[..., 2] - f32pos[:, None, 2]
-    if use_box:
-        dx, dy, dz = _min_image_components(dx, dy, dz, box.astype(f32pos.dtype))
-    d2 = dx * dx + dy * dy + dz * dz
-    valid = (
-        (acand < n)
-        & (apj[..., 4] > 0)
-        & (apj[..., 3] == batch.astype(f32pos.dtype)[:, None])
-        & (acand != iota_n[:, None])
-        & atom_mask[:, None]
-        & (d2 < cutoff_upper * cutoff_upper)
-        & (d2 >= cutoff_lower * cutoff_lower)
-    )
+        dx = apj[..., 0] - f32pos[:, None, 0]
+        dy = apj[..., 1] - f32pos[:, None, 1]
+        dz = apj[..., 2] - f32pos[:, None, 2]
+        if use_box:
+            dx, dy, dz = _min_image_components(
+                dx, dy, dz, box.astype(f32pos.dtype)
+            )
+        d2 = dx * dx + dy * dy + dz * dz
+        valid = (
+            (acand < n)
+            & (apj[..., 4] > 0)
+            & (apj[..., 3] == bdt[:, None])
+            & (acand != iota_n[:, None])
+            & atom_mask[:, None]
+            & (d2 < cutoff_upper * cutoff_upper)
+            & (d2 >= cutoff_lower * cutoff_lower)
+        )
     n_neighbors = jnp.sum(valid, axis=1).astype(jnp.int32)
     akeys = jnp.where(valid, acand, n)  # (N, 27M)
 
