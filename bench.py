@@ -439,6 +439,7 @@ def stmv_md_ms(
             assert shape is not None
             plan_rows, plan_width, inv_a = shape
         else:
+            plan_rows = plan_rows or 16
             inv_a = 16 * max(1, 32 // plan_rows)
         nkw.update(
             gather_plan=True, plan_width=plan_width, plan_block_rows=plan_rows,

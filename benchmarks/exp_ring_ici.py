@@ -44,14 +44,15 @@ from jax.sharding import Mesh  # noqa: E402
 ICI_GBPS = 45.0
 
 # measured single-chip per-layer fused ET kernel times at STMV scale
-# (PERF.md r4 trace decomposition): fwd 60 ms, bwd 102.5 ms -> one force
-# evaluation touches each layer's edge phase ~2.6x-equivalent; we price
-# conservatively with the FORWARD time only (less compute to hide behind).
+# (PERF.md r5 trace decomposition, probed plan R=16/W=384): fwd 28.9 ms,
+# bwd 53.7 ms -> one force evaluation touches each layer's edge phase
+# ~2.9x-equivalent; we price conservatively with the FORWARD time only
+# (less compute to hide behind).
 MEASURED = {
     # system -> (model, H, K, per-layer fwd ms single-chip, layers,
     #            single-chip force-MD ms/step)
-    "stmv": ("equivariant-transformer", 128, 80, 60.0, 6, 1326.1),
-    "dhfr": ("equivariant-transformer", 128, 80, 1.6, 6, 42.9),
+    "stmv": ("equivariant-transformer", 128, 80, 28.9, 6, 901.3),
+    "dhfr": ("equivariant-transformer", 128, 80, 1.6, 6, 38.6),
 }
 
 
@@ -81,7 +82,7 @@ def main():
     cap = suggest_cell_capacity(batch.pos, batch.atom_mask, cutoff_upper=5.0, headroom=1.1)
     mc = suggest_max_cells(batch.pos, batch.atom_mask, cutoff_upper=5.0)
     nbl = neighbor_list(
-        batch.pos, k=k, cutoff_upper=5.0, batch=batch.batch,
+        batch.pos, batch.batch, batch.atom_mask, k=k, cutoff_upper=5.0,
         loop=True, strategy="cell", cell_capacity=cap, max_cells=mc,
     )
 

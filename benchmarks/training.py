@@ -129,19 +129,29 @@ def main():
     trainer = Trainer(model, h)
     from torchmdnet_tpu.ops.cell_list import (
         suggest_cell_capacity,
+        suggest_max_cells,
         wants_cell_probe,
     )
 
     if args.system and wants_cell_probe(batch.num_atoms, batch.num_mol):
         # mirror Trainer.fit's batch0 occupancy probe (this harness drives
-        # _train_step directly)
+        # _train_step directly) — max_cells included: hollow systems exceed
+        # the N//8 default (solvated STMV: 4547 occupied cells vs 3792)
         trainer._cell_capacity = suggest_cell_capacity(
             batch.pos,
             batch.atom_mask,
             cutoff_upper=h.get("cutoff_upper", 5.0),
             headroom=1.3,
         )
-        print(f"# probed cell_capacity: {trainer._cell_capacity}")
+        trainer._max_cells = suggest_max_cells(
+            batch.pos,
+            batch.atom_mask,
+            cutoff_upper=h.get("cutoff_upper", 5.0),
+        )
+        print(
+            f"# probed cell_capacity: {trainer._cell_capacity} "
+            f"max_cells: {trainer._max_cells}"
+        )
     if h["fused_attention"] or h["fused_message"]:
         if not args.plan_width:
             # mirror Trainer.fit's gather-plan shape probe (batch is already
@@ -154,11 +164,11 @@ def main():
                 suggest_plan_shape,
             )
 
-            cell_kwargs = (
-                {"cell_capacity": trainer._cell_capacity}
-                if trainer._cell_capacity
-                else {}
-            )
+            cell_kwargs = {}
+            if trainer._cell_capacity:
+                cell_kwargs["cell_capacity"] = trainer._cell_capacity
+            if trainer._max_cells:
+                cell_kwargs["max_cells"] = trainer._max_cells
             probe_nbl = trainer.model.neighbors(batch, **cell_kwargs)
             # Per-atom K truncation is deliberate here (the reference's
             # radius_graph truncates to max_num_neighbors the same way, see

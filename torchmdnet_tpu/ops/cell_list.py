@@ -268,14 +268,14 @@ def _neighbor_list_cell_tiles(
     # The boundary: the AoS tile (C, 27M, 5) f32 beyond scoped-VMEM scale.
     soa = c_max * 27 * m * 5 * 4 > (16 << 20)
     bdt = batch.astype(f32pos.dtype)
+    atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(ok, rank, c_max)
+    )
+    cand_p = jnp.concatenate(
+        [cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0
+    )
+    acand = cand_p[atom_rank]  # (N, 27M)
     if soa:
-        atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.where(ok, rank, c_max)
-        )
-        cand_p = jnp.concatenate(
-            [cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0
-        )
-        acand = cand_p[atom_rank]  # (N, 27M)
         meta = jnp.where(atom_mask, bdt, -1.0)  # (N,)
         aplanes = []
         for field, pad in (

@@ -513,11 +513,6 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
 
         batch0 = next(iter(train_loader))
-        # loud config checks (reference Distance assert): a too-small
-        # max_num_neighbors silently truncates neighbor lists otherwise —
-        # for the model's list AND for every prior-internal list (ZBL/D2/
-        # Coulomb build their own with their own cutoff/capacity)
-        self.model.neighbors(batch0).raise_on_overflow("the first training batch")
         # Setup-time cell-capacity probe (ops/cell_list.suggest_cell_capacity):
         # when training large single molecules (the cell strategy's regime),
         # the in-step neighbor build's tile costs scale with 27*cell_capacity
@@ -549,6 +544,17 @@ class Trainer:
             probe_cell_kwargs["cell_capacity"] = self._cell_capacity
         if self._max_cells:
             probe_cell_kwargs["max_cells"] = self._max_cells
+        # loud config checks (reference Distance assert): a too-small
+        # max_num_neighbors silently truncates neighbor lists otherwise —
+        # for the model's list AND for every prior-internal list (ZBL/D2/
+        # Coulomb build their own with their own cutoff/capacity).  Runs
+        # AFTER the occupancy probe and with its capacities: the default
+        # max_cells (N//8) is itself too small for hollow/sparse large
+        # systems (solvated STMV: 4547 occupied cells vs 3792), and this
+        # check must not raise on a capacity the probe exists to size.
+        self.model.neighbors(batch0, **probe_cell_kwargs).raise_on_overflow(
+            "the first training batch"
+        )
         b0s = None
         if self._fused or self._edge_partition:
             # the SORTED batch0 is the atom order every in-step plan sees
