@@ -263,3 +263,68 @@ def test_probed_cell_capacity_threads_into_training_builds(tmp_path):
     trainer._cell_capacity = 2  # force occupancy overflow
     _, over = trainer._build_nbl(batch)
     assert float(over) == 1.0
+
+
+class HollowSystemDataset(MolecularDataset):
+    """One large hollow molecule: atoms spread ~1 per cell over a big box,
+    so the occupied-cell count exceeds the cell strategy's N//8 default
+    max_cells (the solvated-STMV failure shape, r5 review fix)."""
+
+    def __init__(self, n_atoms=2048):
+        self.n_atoms = n_atoms
+        self.atomic_number = list(range(100))
+        self.distance_scale = 1e-10
+        self.energy_scale = 1.60218e-19
+
+    def __len__(self):
+        return 2
+
+    def sample_sizes(self):
+        return np.full(2, self.n_atoms)
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(idx)
+        n = self.n_atoms
+        # jittered 13x13x13 grid at 6 A spacing: ~1 atom/cell at cutoff 5
+        side = 13
+        g = np.stack(
+            np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), axis=-1
+        ).reshape(-1, 3)[:n]
+        pos = (g * 6.0 + rng.uniform(-0.5, 0.5, (n, 3))).astype(np.float32)
+        return {
+            "z": rng.integers(1, 9, n).astype(np.int64),
+            "pos": pos,
+            "y": rng.standard_normal(1).astype(np.float32),
+        }
+
+    def get_atomref(self):
+        return None
+
+
+def test_fit_starts_on_hollow_system_beyond_default_max_cells(tmp_path):
+    """Trainer.fit on a system whose occupied-cell count exceeds the N//8
+    default max_cells: the occupancy probe must run BEFORE the loud
+    first-batch overflow check (r5 review fix — previously the check
+    raised on the un-probed default and fit() could not start)."""
+    from torchmdnet_tpu.ops.cell_list import suggest_max_cells
+
+    ds = HollowSystemDataset()
+    h = _base_hparams(
+        tmp_path, max_num_neighbors=16, batch_size=1, inference_batch_size=1,
+        train_size=1, val_size=1, test_size=0, derivative=False,
+    )
+    data = DataModule(h, dataset=ds)
+    data.setup()
+    model = create_model(h)
+    trainer = Trainer(model, h)
+    batch0 = next(iter(data.train_dataloader()))
+    # precondition: the default capacity really is too small here
+    assert suggest_max_cells(
+        batch0.pos, batch0.atom_mask, cutoff_upper=5.0
+    ) > max(256, batch0.num_atoms // 8)
+    default_nbl = model.neighbors(batch0)
+    assert bool(np.asarray(default_nbl.cell_overflow)), (
+        "test setup: the default build must overflow max_cells"
+    )
+    state = trainer.fit(data)  # must not raise
+    assert state.global_step == 1
