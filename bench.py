@@ -254,13 +254,16 @@ def main():
     # vs_baseline quotes that 217.7 ms FORWARD-ONLY number with an explicit
     # note: these lines do strictly more work per step (forces + integrate).
     REF_STMV_FWD_MS = 217.7
+    # flagship first: each line prints (flushed) as soon as it is measured,
+    # so if a driver time cap cuts the run short the most important numbers
+    # are already recorded
     for metric, model_name, md_kw in (
-        ("gn_stmv_force_md_ms_per_step", "graph-network",
-         dict(k=80, remat=True)),
         ("et_fused_stmv_force_md_ms_per_step", "equivariant-transformer",
          dict(k=80, remat=True, fused=True)),
         ("tensornet_fused_stmv_force_md_ms_per_step", "tensornet",
          dict(k=64, remat=True, fused=True)),
+        ("gn_stmv_force_md_ms_per_step", "graph-network",
+         dict(k=80, remat=True)),
     ):
         try:
             ms = stmv_md_ms(model_name, **md_kw)
