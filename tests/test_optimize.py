@@ -60,3 +60,41 @@ def test_optimized_skin_staleness_flag():
         pos = pos + 0.5 * rng.standard_normal(pos.shape).astype(np.float32)
         opt(pos)
     assert opt.stale
+
+
+def test_optimize_probes_plan_shape_for_fused():
+    """gather_plan=True without an explicit plan_width: optimize() probes a
+    tight (R, W, A) from the example skin list (r5 — the fused kernels' MXU
+    work is linear in W) and the fused evaluation matches the direct model."""
+    from torchmdnet_tpu.data.batch import spatial_sort
+
+    args = load_example_args(
+        "equivariant-transformer", num_layers=1, embedding_dimension=128,
+        num_rbf=8, derivative=True, max_num_neighbors=16,
+    )
+    args.update(
+        bf16_messages=True, fused_attention=True, num_heads=8,
+        attn_activation="silu", distance_influence="both",
+        neighbor_embedding=False,
+    )
+    model = create_model(args)
+    mol = random_molecule(12, seed=5, scale=1.5)
+    batch = pad_molecules([mol], num_atoms=16, num_mol=1)
+    batch, _ = spatial_sort(batch)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt = optimize(
+        model, params, batch, skin=1.0, rebuild_every=4,
+        neighbor_kwargs={"gather_plan": True},
+    )
+    # the probe resolved a concrete 128-multiple width
+    probed_nbl = opt._nbl_fn(batch.pos)
+    assert probed_nbl.gather_plan is not None
+    assert probed_nbl.gather_plan.u.shape[1] % 128 == 0
+    y_o, f_o = opt(batch.pos)
+    nbl_d = model.neighbors(batch, gather_plan=True, plan_block_rows=8,
+                            plan_width=128)
+    y_d, f_d = model.energy_and_forces(params, batch, nbl=nbl_d)
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_d), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(f_o), np.asarray(f_d), rtol=1e-4, atol=1e-5
+    )
