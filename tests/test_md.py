@@ -167,3 +167,37 @@ def test_ring_md_requires_skin():
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     with pytest.raises(ValueError, match="neighbor_skin"):
         Simulation(model, params, batch, mesh=mesh, edge_partition=True)
+
+
+def test_simulation_probes_plan_shape_for_fused():
+    """md.Simulation with gather_plan=True and no explicit plan_width
+    probes a tight (R, W, A) from the skin list at setup (r5 — same
+    contract as Trainer.fit / optimize() / bench.py)."""
+    import jax
+
+    from torchmdnet_tpu.data.batch import pad_molecules, spatial_sort
+    from torchmdnet_tpu.md import Simulation
+    from torchmdnet_tpu.models.potential import create_model
+
+    from utils import load_example_args, random_molecule
+
+    args = load_example_args(
+        "equivariant-transformer", num_layers=1, embedding_dimension=128,
+        num_rbf=8, derivative=True, max_num_neighbors=16,
+    )
+    args.update(
+        bf16_messages=True, fused_attention=True, num_heads=8,
+        attn_activation="silu", distance_influence="both",
+        neighbor_embedding=False,
+    )
+    model = create_model(args)
+    mol = random_molecule(12, seed=5, scale=1.5)
+    batch = pad_molecules([mol], num_atoms=16, num_mol=1)
+    batch, _ = spatial_sort(batch)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    sim = Simulation(
+        model, params, batch, timestep_fs=0.2, neighbor_skin=1.0,
+        rebuild_every=4, neighbor_kwargs={"gather_plan": True},
+    )
+    sim.step(4)
+    assert np.isfinite(np.asarray(sim.state.pos)).all()

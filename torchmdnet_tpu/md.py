@@ -141,6 +141,33 @@ class Simulation:
                 ),
             )
 
+        # Setup-time gather-plan shape probe (as in Trainer.fit /
+        # optimize() / bench.py): fused-kernel MXU work is linear in the
+        # plan width W and fixed defaults leave 1.4-1.5x at STMV scale
+        # (PERF.md r5).  Probed on the REAL skin list this loop will build.
+        if neighbor_kwargs.get("gather_plan") and not neighbor_kwargs.get(
+            "plan_width"
+        ):
+            from torchmdnet_tpu.ops.pallas.onehot_gather import (
+                suggest_plan_shape,
+            )
+
+            probe_nbl = model.neighbors(
+                batch, box=box, skin=self.skin,
+                **{k: v for k, v in neighbor_kwargs.items()
+                   if k in ("strategy", "cell_capacity", "max_cells")},
+            )
+            shape = suggest_plan_shape(
+                jax.device_get(probe_nbl.idx),
+                block_rows=int(neighbor_kwargs.get("plan_block_rows") or 16),
+                headroom=1.15,
+            )
+            if shape is not None:
+                r, w, a = shape
+                neighbor_kwargs["plan_block_rows"] = r
+                neighbor_kwargs["plan_width"] = w
+                neighbor_kwargs.setdefault("plan_inv_capacity", a)
+
         self.ring = None
         if edge_partition:
             if mesh is None:
