@@ -153,9 +153,9 @@ class Simulation:
             )
 
             probe_nbl = model.neighbors(
-                batch, box=box, skin=self.skin,
+                batch, box=box, skin=self.skin, strategy=neighbor_strategy,
                 **{k: v for k, v in neighbor_kwargs.items()
-                   if k in ("strategy", "cell_capacity", "max_cells")},
+                   if k in ("cell_capacity", "max_cells")},
             )
             shape = suggest_plan_shape(
                 jax.device_get(probe_nbl.idx),
@@ -184,8 +184,26 @@ class Simulation:
                 sized_ring_executor,
             )
 
+            # plumb the probed plan shape + cell capacities into the ring
+            # executor (it owns the plan kwargs for its own builds; the
+            # generic neighbor_kwargs keep feeding build_ctx, which the
+            # executor sanitizes)
+            ring_plan_shape = None
+            if neighbor_kwargs.get("gather_plan") and neighbor_kwargs.get(
+                "plan_width"
+            ):
+                ring_plan_shape = (
+                    int(neighbor_kwargs.get("plan_block_rows") or 16),
+                    int(neighbor_kwargs["plan_width"]),
+                    int(neighbor_kwargs.get("plan_inv_capacity") or 32),
+                )
             self.ring = sized_ring_executor(
-                model, batch, mesh, boundary_limit=boundary_limit, box=box
+                model, batch, mesh, boundary_limit=boundary_limit, box=box,
+                plan_shape=ring_plan_shape,
+                cell_kwargs={
+                    k: v for k, v in neighbor_kwargs.items()
+                    if k in ("cell_capacity", "max_cells")
+                },
             )
             batch = shard_batch_by_atoms(batch, mesh)
             self.batch = batch

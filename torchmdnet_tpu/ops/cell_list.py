@@ -340,16 +340,9 @@ def _neighbor_list_cell_tiles(
         # the rest was wasted VPU/HBM work.  Instead each atom row-gathers
         # its cell's tile (wide rows are byte-bound, ~roofline) and the
         # filter runs on exactly (N, 27M).
-        atom_rank = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.where(ok, rank, c_max)
-        )
-        cand_p = jnp.concatenate(
-            [cand, jnp.full((1, 27 * m), n, jnp.int32)], axis=0
-        )
         pj_p = jnp.concatenate(
             [pj, jnp.zeros((1, 27 * m, 5), f32pos.dtype)], axis=0
         )
-        acand = cand_p[atom_rank]  # (N, 27M)
         apj = pj_p[atom_rank]  # (N, 27M, 5)
 
         dx = apj[..., 0] - f32pos[:, None, 0]

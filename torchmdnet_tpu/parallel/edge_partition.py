@@ -595,7 +595,16 @@ class RingExecutor:
         box=None,
         table_capacity: Optional[int] = None,
         plan_shape=None,
+        cell_kwargs=None,
     ):
+        # probed cell capacities (Trainer.fit / md.Simulation occupancy
+        # probes) applied to every neighbor build this executor performs —
+        # hollow systems exceed the N//8 max_cells default
+        self._cell_kwargs = {
+            k: v
+            for k, v in (cell_kwargs or {}).items()
+            if k in ("cell_capacity", "max_cells")
+        }
         self.model = model
         self.mesh = mesh
         self.axis = axis
@@ -660,9 +669,19 @@ class RingExecutor:
             f"padded atom count {n} must divide over {self.d} shards"
         )
         if nbl is None:
+            # merge the stored probed cell capacities with call-site
+            # overrides, and drop plan/gather keys a caller's generic
+            # neighbor_kwargs may carry — the executor owns those (its
+            # _plan_kwargs; duplicates would TypeError)
+            kw = {**self._cell_kwargs, **cell_kwargs}
+            for plan_key in (
+                "gather_plan", "plan_block_rows", "plan_width",
+                "plan_inv_capacity",
+            ):
+                kw.pop(plan_key, None)
             nbl = self.model.neighbors(
                 batch, box=self.box, skin=skin, strategy=strategy,
-                gather_plan=self._fused, **self._plan_kwargs, **cell_kwargs,
+                gather_plan=self._fused, **self._plan_kwargs, **kw,
             )
         slots, valid, n_dropped = make_ring_plan(
             nbl.idx, nbl.mask, self.mesh, self.axis, self.cap
@@ -845,15 +864,16 @@ def _resolve_plan_kwargs(args, plan_shape=None):
     )
 
 
-def _build_model_nbl(model, batch, box=None, plan_shape=None):
+def _build_model_nbl(model, batch, box=None, plan_shape=None, cell_kwargs=None):
     """The model's neighbor list for ring setup — with a gather plan when the
     model config enables the fused kernels (plan kwargs from model.args or
-    the probed plan_shape)."""
+    the probed plan_shape) and the caller's probed cell capacities."""
     a = model.args
     fused = bool(a.get("fused_attention") or a.get("fused_message"))
     return model.neighbors(
         batch, box=box, gather_plan=fused,
         **_resolve_plan_kwargs(a, plan_shape),
+        **(cell_kwargs or {}),
     )
 
 
@@ -867,6 +887,7 @@ def sized_ring_executor(
     headroom: float = 1.5,
     box=None,
     plan_shape=None,
+    cell_kwargs=None,
 ) -> RingExecutor:
     """Build a RingExecutor with capacities sized from an example batch.
 
@@ -883,7 +904,17 @@ def sized_ring_executor(
     a = model.args
     fused = bool(a.get("fused_attention") or a.get("fused_message"))
     if nbl is None:
-        nbl = _build_model_nbl(model, batch, box, plan_shape)
+        nbl = _build_model_nbl(model, batch, box, plan_shape, cell_kwargs)
+        if nbl.cell_overflow is not None:
+            import numpy as _np0
+
+            if bool(_np0.asarray(nbl.cell_overflow)):
+                raise ValueError(
+                    "sized_ring_executor: the sizing neighbor list "
+                    "cell-overflowed — boundary capacities would be sized "
+                    "from a truncated list. Pass probed cell_kwargs "
+                    "(suggest_cell_capacity/suggest_max_cells)."
+                )
 
     # Multi-process: the example batch (and its neighbor lists) are
     # host-identical local arrays, but the sizing shard_maps below need
@@ -935,7 +966,7 @@ def sized_ring_executor(
     return RingExecutor(
         model, mesh, axis=axis, boundary_capacity=cap,
         prior_caps=tuple(prior_caps), box=box, table_capacity=table_cap,
-        plan_shape=plan_shape,
+        plan_shape=plan_shape, cell_kwargs=cell_kwargs,
     )
 
 

@@ -603,6 +603,7 @@ class Trainer:
                 self.model, b0s, self.mesh,
                 boundary_limit=int(h.get("edge_boundary_limit", 65536) or 65536),
                 plan_shape=self._plan_shape,
+                cell_kwargs=probe_cell_kwargs,
             )
         for prior in self.model.module.priors:
             prior.check_neighbor_capacity(batch0, "the first training batch")
