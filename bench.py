@@ -367,10 +367,21 @@ def fused_forces_ms(model_name, z, pos, plan_rows, plan_width, fused=True):
     if plan_rows:
         # gather plans pay only for wide-row models (ET/TensorNet); GN's
         # F=128 gathers are row-count-bound and the plan is overhead
-        # (PERF.md one-hot gather table)
+        # (PERF.md one-hot gather table).  Probe the tight (R, W, A) like
+        # every other surface (r5): the inverse-table reads scale with A.
+        from torchmdnet_tpu.ops.pallas.onehot_gather import suggest_plan_shape
+
+        probe = model.neighbors(batch, strategy="brute")
+        shape = suggest_plan_shape(
+            jax.device_get(probe.idx), block_rows=plan_rows, headroom=1.0
+        )
+        if shape is not None:
+            plan_rows, plan_width, inv_a = shape
+        else:
+            inv_a = 16 * max(1, 32 // plan_rows)
         plan_kwargs = dict(
             gather_plan=True, plan_width=plan_width, plan_block_rows=plan_rows,
-            plan_inv_capacity=16 * max(1, 32 // plan_rows),
+            plan_inv_capacity=inv_a,
         )
     nbl = model.neighbors(batch, strategy="brute", **plan_kwargs)
     nbl.raise_on_overflow("bench.py fused line")
